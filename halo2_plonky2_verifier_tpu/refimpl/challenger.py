@@ -1,0 +1,71 @@
+"""Fiat-Shamir duplex-sponge transcript (plonky2 Challenger), pure-int.
+
+Exact semantics the TPU transcript must reproduce bit-for-bit
+(reference: verifier/src/challenger/mod.rs):
+  - observe clears the output buffer, then appends to the input buffer
+    (mod.rs:45-50); eager duplexing per full rate-chunk is equivalent to the
+    chip's lazy chunked absorb (mod.rs:261-277).
+  - get_challenge: absorb pending inputs (overwrite mode, rate-8 chunks,
+    permute per chunk), refill the output buffer with state[0:8], then pop
+    from the END of the output buffer (LIFO) (mod.rs:93-108).
+"""
+
+from .poseidon import NUM_HASH_OUT_ELTS, SPONGE_RATE, SPONGE_WIDTH, permute
+
+
+class Challenger:
+    def __init__(self):
+        self.sponge_state = [0] * SPONGE_WIDTH
+        self.input_buffer = []
+        self.output_buffer = []
+
+    # -- observing ----------------------------------------------------------
+
+    def observe_element(self, x):
+        self.output_buffer.clear()
+        self.input_buffer.append(x)
+
+    def observe_elements(self, xs):
+        for x in xs:
+            self.observe_element(x)
+
+    def observe_hash(self, h):
+        assert len(h) == NUM_HASH_OUT_ELTS
+        self.observe_elements(h)
+
+    def observe_cap(self, cap):
+        for h in cap:
+            self.observe_hash(h)
+
+    def observe_extension_element(self, e):
+        self.observe_elements([e[0], e[1]])
+
+    def observe_extension_elements(self, es):
+        for e in es:
+            self.observe_extension_element(e)
+
+    # -- squeezing ----------------------------------------------------------
+
+    def _absorb_buffered_inputs(self):
+        if not self.input_buffer:
+            return
+        for i in range(0, len(self.input_buffer), SPONGE_RATE):
+            chunk = self.input_buffer[i:i + SPONGE_RATE]
+            self.sponge_state[:len(chunk)] = chunk
+            self.sponge_state = permute(self.sponge_state)
+        self.output_buffer = list(self.sponge_state[:SPONGE_RATE])
+        self.input_buffer.clear()
+
+    def get_challenge(self):
+        self._absorb_buffered_inputs()
+        if not self.output_buffer:
+            self.sponge_state = permute(self.sponge_state)
+            self.output_buffer = list(self.sponge_state[:SPONGE_RATE])
+        return self.output_buffer.pop()
+
+    def get_n_challenges(self, n):
+        return [self.get_challenge() for _ in range(n)]
+
+    def get_extension_challenge(self):
+        c = self.get_n_challenges(2)
+        return (c[0], c[1])

@@ -1,0 +1,59 @@
+"""Field-ops adapters so Stark.eval runs over base ints or extension tuples."""
+
+from . import field as gl
+
+
+class BaseOps:
+    """GF(p) with plain ints."""
+
+    @staticmethod
+    def zero():
+        return 0
+
+    @staticmethod
+    def one():
+        return 1
+
+    @staticmethod
+    def add(a, b):
+        return (a + b) % gl.P
+
+    @staticmethod
+    def sub(a, b):
+        return (a - b) % gl.P
+
+    @staticmethod
+    def mul(a, b):
+        return a * b % gl.P
+
+    @staticmethod
+    def from_base(x):
+        return x % gl.P
+
+
+class ExtOps:
+    """GF(p^2) with (a0, a1) tuples."""
+
+    @staticmethod
+    def zero():
+        return gl.EXT_ZERO
+
+    @staticmethod
+    def one():
+        return gl.EXT_ONE
+
+    @staticmethod
+    def add(a, b):
+        return gl.ext_add(a, b)
+
+    @staticmethod
+    def sub(a, b):
+        return gl.ext_sub(a, b)
+
+    @staticmethod
+    def mul(a, b):
+        return gl.ext_mul(a, b)
+
+    @staticmethod
+    def from_base(x):
+        return gl.ext_from_base(x)

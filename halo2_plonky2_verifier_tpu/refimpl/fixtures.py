@@ -1,0 +1,37 @@
+"""Proof fixture management: deterministic Fibonacci-STARK proofs cached on
+disk (tests/fixtures/) so the slow pure-int prover runs only once per shape.
+"""
+
+import os
+
+from ..models.fibonacci import FibonacciStark, fibonacci
+from ..utils.config import StarkConfig
+from . import field as gl
+from .proof import proof_from_json, proof_to_json
+
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "fixtures")
+
+
+def fibonacci_public_inputs(num_rows):
+    return [0, 1, fibonacci(num_rows - 1, 0, 1, gl.P)]
+
+
+def get_fibonacci_proof(num_rows, config=None, cache_dir=None):
+    """Returns (stark, config, proof_with_pis); generates and caches on miss."""
+    config = config or StarkConfig.standard_fast_config()
+    cache_dir = cache_dir or FIXTURE_DIR
+    stark = FibonacciStark(num_rows)
+    path = os.path.join(cache_dir, f"fib_stark_n{num_rows}.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return stark, config, proof_from_json(f.read())
+    from . import prover
+    public_inputs = fibonacci_public_inputs(num_rows)
+    trace = stark.generate_trace(public_inputs[0], public_inputs[1], gl.P)
+    pwp = prover.prove(stark, config, trace, public_inputs)
+    os.makedirs(cache_dir, exist_ok=True)
+    with open(path, "w") as f:
+        f.write(proof_to_json(pwp))
+    return stark, config, pwp

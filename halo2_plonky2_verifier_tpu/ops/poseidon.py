@@ -1,0 +1,193 @@
+"""Batched Poseidon-over-Goldilocks permutation on TPU lanes (JAX).
+
+State layout: a Goldilocks pair ``(hi, lo)`` of ``(..., 12)`` uint32 arrays —
+lane axis last, batch axes leading, so every op is a wide VPU op and the
+compiled graph size is independent of the batch.  Round loops use
+``lax.scan`` over stacked round constants so the XLA graph holds ONE full-
+round body and ONE partial-round body (~1k primitives) per permute instance
+instead of 30 unrolled rounds; sequences of permutes (sponge absorb, Merkle
+levels) scan again at the call site.
+
+Matches plonky2's permutation via the naive round structure (constant layer ->
+S-box -> dense circulant MDS; reference:
+verifier/src/hash/poseidon/permutation.rs:176-284 — equivalent to its fast
+partial-round machinery, see constants/poseidon_goldilocks.py).
+
+MDS trick: entries are tiny (<= 41), so the 12x12 mix is 12 lane-rolls of raw
+u32 limb products (column sums < 2^26) and a single modular reduction per
+element instead of 144 modmuls — an optimization the in-circuit reference
+cannot express.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..constants.poseidon_goldilocks import (
+    ALL_ROUND_CONSTANTS,
+    HALF_N_FULL_ROUNDS,
+    MDS_MATRIX_CIRC,
+    MDS_MATRIX_DIAG,
+    N_PARTIAL_ROUNDS,
+    N_ROUNDS,
+    SPONGE_RATE,
+    SPONGE_WIDTH,
+)
+from . import goldilocks as gl
+
+_MASK16 = np.uint32(0xFFFF)
+W = SPONGE_WIDTH
+
+_RC = np.array(ALL_ROUND_CONSTANTS, dtype=np.uint64).reshape(N_ROUNDS, W)
+_RC_HI = (_RC >> np.uint64(32)).astype(np.uint32)
+_RC_LO = (_RC & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+_CIRC = [np.uint32(c) for c in MDS_MATRIX_CIRC]
+_DIAG0 = np.uint32(MDS_MATRIX_DIAG[0])  # only entry 0 is nonzero
+_DIAG0_MASK = np.zeros((W,), dtype=np.uint32)
+_DIAG0_MASK[0] = 1
+
+
+def _sbox(x):
+    x2 = gl.mul(x, x)
+    x4 = gl.mul(x2, x2)
+    x6 = gl.mul(x4, x2)
+    return gl.mul(x6, x)
+
+
+def _mds_layer(state):
+    """out[..., r] = sum_i CIRC[i] * state[..., (r+i)%12] + DIAG[r]*state[..., r].
+
+    Computed in raw u16-limb space with one reduce128 at the end.
+    """
+    hi, lo = state
+    # u16 limb planes, each (..., 12)
+    limbs = [lo & _MASK16, lo >> 16, hi & _MASK16, hi >> 16]
+    cols = [None] * 5
+    for i in range(W):
+        shifted = [jnp.roll(l, -i, axis=-1) for l in limbs]
+        for k in range(4):
+            term = shifted[k] * _CIRC[i]
+            cols[k] = term if cols[k] is None else cols[k] + term
+    for k in range(4):
+        cols[k] = cols[k] + (limbs[k] * _DIAG0) * _DIAG0_MASK
+    cols[4] = jnp.zeros_like(cols[0])
+    out_limbs = []
+    carry = jnp.zeros_like(cols[0])
+    for k in range(5):
+        v = cols[k] + carry
+        out_limbs.append(v & _MASK16)
+        carry = v >> 16
+    lo64 = gl.from_limbs16(out_limbs[0:4])
+    hi64 = (jnp.zeros_like(cols[0]), out_limbs[4] | (carry << 16))
+    return gl.reduce128(hi64, lo64)
+
+
+def _full_round(state, rc):
+    rc_hi, rc_lo = rc
+    state = gl.add(state, (rc_hi, rc_lo))
+    state = _sbox(state)
+    return _mds_layer(state)
+
+
+def _partial_round(state, rc):
+    rc_hi, rc_lo = rc
+    state = gl.add(state, (rc_hi, rc_lo))
+    s0 = (state[0][..., :1], state[1][..., :1])
+    s0 = _sbox(s0)
+    state = (jnp.concatenate([s0[0], state[0][..., 1:]], axis=-1),
+             jnp.concatenate([s0[1], state[1][..., 1:]], axis=-1))
+    return _mds_layer(state)
+
+
+def permute(state):
+    """state: (hi, lo) pair of (..., 12) u32 -> permuted pair."""
+
+    def scan_rounds(body, state, lo_r, hi_r):
+        rc = (jnp.asarray(_RC_HI[lo_r:hi_r]), jnp.asarray(_RC_LO[lo_r:hi_r]))
+
+        def step(carry, x):
+            return body(carry, x), None
+
+        state, _ = jax.lax.scan(step, state, rc)
+        return state
+
+    r0 = HALF_N_FULL_ROUNDS
+    r1 = HALF_N_FULL_ROUNDS + N_PARTIAL_ROUNDS
+    state = scan_rounds(_full_round, state, 0, r0)
+    state = scan_rounds(_partial_round, state, r0, r1)
+    state = scan_rounds(_full_round, state, r1, N_ROUNDS)
+    return state
+
+
+# ----------------------------------------------------------------------------
+# Sponge / hashing (plonky2 semantics)
+# ----------------------------------------------------------------------------
+
+def zero_state(shape=()):
+    return gl.zeros(tuple(shape) + (W,))
+
+
+def _overwrite_prefix(state, chunk):
+    """state[..., :k] = chunk (k static)."""
+    k = chunk[0].shape[-1]
+    return (jnp.concatenate([chunk[0], state[0][..., k:]], axis=-1),
+            jnp.concatenate([chunk[1], state[1][..., k:]], axis=-1))
+
+
+def absorb(state, inputs):
+    """Overwrite-mode sponge absorb of (..., k) inputs, k static
+    (reference: permutation.rs:286-301).  Full rate-chunks are scanned so the
+    graph holds a single permute instance for them."""
+    k = inputs[0].shape[-1]
+    n_full = k // SPONGE_RATE
+    if n_full > 1:
+        # (..., n_full, 8) -> scan over chunk axis
+        chunks_hi = inputs[0][..., :n_full * SPONGE_RATE].reshape(
+            inputs[0].shape[:-1] + (n_full, SPONGE_RATE))
+        chunks_lo = inputs[1][..., :n_full * SPONGE_RATE].reshape(
+            inputs[1].shape[:-1] + (n_full, SPONGE_RATE))
+        # move chunk axis to front for scan
+        chunks_hi = jnp.moveaxis(chunks_hi, -2, 0)
+        chunks_lo = jnp.moveaxis(chunks_lo, -2, 0)
+
+        def step(st, chunk):
+            st = _overwrite_prefix(st, chunk)
+            return permute(st), None
+
+        state, _ = jax.lax.scan(step, state, (chunks_hi, chunks_lo))
+    elif n_full == 1:
+        state = permute(_overwrite_prefix(
+            state, (inputs[0][..., :SPONGE_RATE], inputs[1][..., :SPONGE_RATE])))
+    rem = k - n_full * SPONGE_RATE
+    if rem:
+        tail = (inputs[0][..., k - rem:], inputs[1][..., k - rem:])
+        state = permute(_overwrite_prefix(state, tail))
+    return state
+
+
+def hash_no_pad(inputs):
+    """(..., k) -> (..., 4) (plonky2 hash_n_to_m_no_pad with 4 outputs)."""
+    batch = inputs[0].shape[:-1]
+    state = absorb(zero_state(batch), inputs)
+    return (state[0][..., :4], state[1][..., :4])
+
+
+def hash_or_noop(inputs):
+    """<= 4 inputs: zero-pad; else sponge (reference: hash/mod.rs:109-119)."""
+    k = inputs[0].shape[-1]
+    if k <= 4:
+        pad = [(0, 0)] * (inputs[0].ndim - 1) + [(0, 4 - k)]
+        return (jnp.pad(inputs[0], pad), jnp.pad(inputs[1], pad))
+    return hash_no_pad(inputs)
+
+
+def two_to_one(left, right):
+    """Compress two (..., 4) hashes: state[0:8] = left||right, one permute
+    (reference: hash.rs:188-214)."""
+    z = jnp.zeros_like(left[0])
+    state = (jnp.concatenate([left[0], right[0], z], axis=-1),
+             jnp.concatenate([left[1], right[1], z], axis=-1))
+    state = permute(state)
+    return (state[0][..., :4], state[1][..., :4])

@@ -4,11 +4,19 @@ import sys
 # Tests run on a virtual 8-device CPU mesh (the no-cluster analog of the
 # reference's MockProver harness, SURVEY.md §4): sharding/collective code paths
 # compile and execute exactly as on a TPU slice, minus the hardware.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+#
+# NOTE: this environment force-registers the `axon` TPU platform via
+# sitecustomize (JAX_PLATFORMS=axon is set before the interpreter starts and
+# jax is imported at startup), so mutating os.environ here is too late —
+# jax.config.update is the reliable override.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

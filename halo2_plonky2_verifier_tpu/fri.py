@@ -1,0 +1,337 @@
+"""FRI verification on TPU lanes: all query rounds of all proofs at once.
+
+Executor form of the reference FriChip (verifier/src/fri/mod.rs:97-502):
+
+- the 84 query rounds are a vectorized axis Q (and proofs a batch axis B) —
+  the reference's sequential hot loop (fri/mod.rs:488-501) becomes wide lanes;
+- ALL Merkle path checks (every oracle's initial proof and every reduction
+  step's proof) are stacked on one "slot" axis and verified by a single
+  lax.scan over levels with per-slot depth masks — one Poseidon instance for
+  ~90% of the reference's workload (the two_to_one frames in its profile);
+- `assert_equal` becomes boolean lanes AND-reduced into a per-proof verdict.
+
+Index conventions follow the chip exactly: x_index = low lde_bits of the
+query challenge (LSB-first bits drive left/right selection), cap index = top
+cap_height bits, subgroup point = 7 * phi^bitrev(x_index) (fri/mod.rs:363-389).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .ops import goldilocks as gl
+from .ops import goldilocks_ext as gle
+from .ops import poseidon
+from .refimpl import field as gl_int
+from .refimpl.fft import reverse_index_bits
+
+
+def _pow_root_consts(n_log):
+    """Host table: phi^(2^k) for phi = primitive 2^n_log-th root."""
+    phi = gl_int.primitive_root_of_unity(n_log)
+    out = []
+    cur = phi
+    for _ in range(n_log):
+        out.append(cur)
+        cur = cur * cur % gl_int.P
+    return out
+
+
+def exp_from_bits_const_base(idx_u32, base_pows, nbits, shape):
+    """prod_i (bit_i(idx) ? base^(2^i) : 1) — the executor form of
+    exp_from_bits_const_base (base.rs:408-430).  base_pows[i] = base^(2^i)."""
+    acc = gl.full(shape, 1)
+    for i in range(nbits):
+        bit = ((idx_u32 >> np.uint32(i)) & np.uint32(1)) == 1
+        acc = gl.select(bit, gl.mul(acc, gl.full(shape, base_pows[i])), acc)
+    return acc
+
+
+def bit_reverse_u32(idx, nbits):
+    """Bit-reverse the low nbits of a u32 array."""
+    out = jnp.zeros_like(idx)
+    for i in range(nbits):
+        out = out | (((idx >> np.uint32(i)) & np.uint32(1))
+                     << np.uint32(nbits - 1 - i))
+    return out
+
+
+def _hash_leaf(evals_pair):
+    """hash_or_noop over the trailing axis (merkle leaf hashing)."""
+    return poseidon.hash_or_noop(evals_pair)
+
+
+def merged_merkle_verdict(nodes, indices, siblings, depths, caps, cap_index):
+    """Verify a stack of Merkle paths with one scan.
+
+    nodes:    (B, Q, S, 4) pair — leaf hashes per slot
+    indices:  (B, Q, S) u32 — leaf index within each slot's tree
+    siblings: (B, Q, S, Dmax, 4) pair — zero-padded sibling stacks
+    depths:   host tuple of per-slot depths
+    caps:     (B, S, cap, 4) pair — expected caps per slot
+    cap_index:(B, Q) u32
+    Returns (B, Q, S) bool.
+    """
+    S = len(depths)
+    d_max = max(depths) if depths else 0
+    if d_max:
+        level_active = np.zeros((d_max, S), dtype=bool)
+        for s, d in enumerate(depths):
+            level_active[:d, s] = True
+        sib_hi = jnp.moveaxis(siblings[0], -2, 0)   # (Dmax, B, Q, S, 4)
+        sib_lo = jnp.moveaxis(siblings[1], -2, 0)
+
+        def level(carry, x):
+            (node, idx) = carry
+            sib, active = x                          # pair (B,Q,S,4), (S,)
+            bit = (idx & np.uint32(1)) == 1          # (B,Q,S) True => node is right child
+            bsel = bit[..., None]
+            left = gl.select(bsel, sib, node)
+            right = gl.select(bsel, node, sib)
+            new_node = poseidon.two_to_one(left, right)
+            act = active[None, None, :, None]
+            node = gl.select(act, new_node, node)
+            idx = jnp.where(active[None, None, :], idx >> np.uint32(1), idx)
+            return (node, idx), None
+
+        (nodes, indices), _ = jax.lax.scan(
+            level, (nodes, indices), ((sib_hi, sib_lo), jnp.asarray(level_active)))
+
+    # expected roots: caps gathered at cap_index -> (B, Q, S, 4)
+    ci = cap_index[:, :, None, None, None]           # (B,Q,1,1,1)
+    def gather_cap(c):
+        # c: (B, S, cap, 4) -> broadcast gather over Q
+        cexp = jnp.broadcast_to(c[:, None], (c.shape[0], cap_index.shape[1]) + c.shape[1:])
+        return jnp.take_along_axis(cexp, ci, axis=3)[..., 0, :]
+    root = (gather_cap(caps[0]), gather_cap(caps[1]))
+    ok = gl.eq(root, nodes)                          # (B, Q, S, 4)
+    return ok.all(axis=-1)
+
+
+def verify_fri(shape, batch, challenges, verdict):
+    """FRI verification; returns updated (B,) verdict.
+
+    challenges: dict with gl/gle lane values:
+      fri_alpha (ext, (B,)), fri_betas (list of ext), fri_pow_response (gl),
+      query_lo ((B, Q) u32 low words of query challenges),
+      zeta (ext), instance_batches: list of (point_ext, [(oracle, poly)]),
+      openings_batches: list of lists of ext (B,) values.
+    """
+    S = shape
+    B = batch.batch_size
+    Q = S.num_queries
+    n_log = S.lde_bits
+    assert n_log < 32
+
+    # --- proof-of-work (fri/mod.rs:131-145) --------------------------------
+    verdict = verdict & gl.lt_pow2(
+        challenges["fri_pow_response"], 64 - S.proof_of_work_bits)
+
+    # --- query indices ------------------------------------------------------
+    x_index = challenges["query_lo"] & np.uint32((1 << n_log) - 1)   # (B, Q)
+    cap_height = n_log - S.initial_depth
+    cap_index = x_index >> np.uint32(S.initial_depth)                # top bits
+
+    # --- subgroup_x = 7 * phi^bitrev(x_index) ------------------------------
+    phi_pows = _pow_root_consts(n_log)
+    rev = bit_reverse_u32(x_index, n_log)
+    phi_pow = exp_from_bits_const_base(rev, phi_pows, n_log, (B, Q))
+    subgroup_x = gl.mul(gl.full((B, Q), gl_int.GENERATOR), phi_pow)
+
+    # --- reduced openings (PrecomputedReducedOpenings, fri/mod.rs:41-62) ---
+    alpha = challenges["fri_alpha"]
+    reduced_openings = [
+        gle.reduce_with_powers(vals, alpha)
+        for vals in challenges["openings_batches"]
+    ]
+
+    # --- combine_initial (fri/mod.rs:170-220) ------------------------------
+    alpha_bq = _bcast_ext(alpha, (B, Q))
+    sx_ext = gle.from_base(subgroup_x)
+    total = gle.zeros_like(sx_ext)
+    for (point, polys), red_open in zip(challenges["instance_batches"], reduced_openings):
+        evals = []
+        for (oi, pi) in polys:
+            ev = (batch.initial_evals[oi][0][..., pi],
+                  batch.initial_evals[oi][1][..., pi])          # (B, Q)
+            evals.append(gle.from_base(ev))
+        reduced_evals = gle.reduce_with_powers(evals, alpha_bq)
+        numerator = gle.sub(reduced_evals, _bcast_ext(red_open, (B, Q)))
+        denominator = gle.sub(sx_ext, _bcast_ext(point, (B, Q)))
+        alpha_shift = gle.exp_const(alpha_bq, len(evals))
+        total = gle.mul(alpha_shift, total)
+        total = gle.add(gle.mul(numerator, gle.inv(denominator)), total)
+    old_eval = total
+
+    # --- merged Merkle checks ----------------------------------------------
+    nodes, idxs, sibs, depths, caps = [], [], [], [], []
+    for oi, w in enumerate(S.oracle_widths):
+        nodes.append(_hash_leaf(batch.initial_evals[oi]))        # (B,Q,4)
+        idxs.append(x_index)
+        sibs.append(batch.initial_siblings[oi])                  # (B,Q,D,4)
+        depths.append(S.initial_depth)
+    oracle_caps = [batch.trace_cap]
+    if S.uses_permutation:
+        oracle_caps.append(batch.zs_cap)
+    oracle_caps.append(batch.quotient_cap)
+    caps.extend(oracle_caps)
+
+    cum = 0
+    step_indices = []
+    for si, ab in enumerate(S.reduction_arity_bits):
+        cum += ab
+        coset_idx = x_index >> np.uint32(cum)
+        step_indices.append(coset_idx)
+        ev = batch.step_evals[si]                                # (B,Q,arity,2) pair
+        flat = (ev[0].reshape(ev[0].shape[:2] + (-1,)),
+                ev[1].reshape(ev[1].shape[:2] + (-1,)))          # (B,Q,2*arity)
+        nodes.append(poseidon.hash_no_pad(flat))
+        idxs.append(coset_idx)
+        sibs.append(batch.step_siblings[si])
+        depths.append(S.step_depths[si])
+        caps.append(batch.commit_caps[si])
+
+    d_max = max(depths)
+    def pad_sib(s, d):
+        if d == d_max:
+            return s
+        pad = [(0, 0)] * 2 + [(0, d_max - d), (0, 0)]
+        return (jnp.pad(s[0], pad), jnp.pad(s[1], pad))
+    sibs = [pad_sib(s, d) for s, d in zip(sibs, depths)]
+    nodes_st = (jnp.stack([n[0] for n in nodes], axis=2),
+                jnp.stack([n[1] for n in nodes], axis=2))        # (B,Q,S,4)
+    idx_st = jnp.stack(idxs, axis=-1)                            # (B,Q,S)
+    sib_st = (jnp.stack([s[0] for s in sibs], axis=2),
+              jnp.stack([s[1] for s in sibs], axis=2))           # (B,Q,S,Dmax,4)
+    caps_st = (jnp.stack([c[0] for c in caps], axis=1),
+               jnp.stack([c[1] for c in caps], axis=1))          # (B,S,cap,4)
+    mk_ok = merged_merkle_verdict(nodes_st, idx_st, sib_st, tuple(depths),
+                                  caps_st, cap_index)            # (B,Q,S)
+    verdict = verdict & mk_ok.all(axis=(1, 2))
+
+    # --- reduction steps (fri/mod.rs:403-438) ------------------------------
+    idx_cur = x_index
+    for si, ab in enumerate(S.reduction_arity_bits):
+        arity = 1 << ab
+        within = idx_cur & np.uint32(arity - 1)                  # (B,Q)
+        ev = batch.step_evals[si]                                # (B,Q,arity,2)
+        # gather claimed eval at `within`
+        wi = within[..., None, None].astype(jnp.int32)
+        def g(a):
+            return jnp.take_along_axis(a, wi, axis=2)[..., 0, :]
+        picked = (g(ev[0]), g(ev[1]))                            # (B,Q,2)
+        new_eval = ((picked[0][..., 0], picked[1][..., 0]),
+                    (picked[0][..., 1], picked[1][..., 1]))      # ext (B,Q)
+        verdict = verdict & gle.eq(new_eval, old_eval).all(axis=1)
+
+        old_eval = _compute_evaluation(
+            S, subgroup_x, within, ab, ev, challenges["fri_betas"][si], (B, Q))
+        subgroup_x = _square_n_gl(subgroup_x, ab)
+        idx_cur = idx_cur >> np.uint32(ab)
+
+    # --- final polynomial check (fri/mod.rs:440-443) -----------------------
+    fp = batch.final_poly                                        # (B, L, 2)
+    sx_ext = gle.from_base(subgroup_x)
+    # Horner over coefficients, highest first, scanned
+    coeffs0 = (jnp.moveaxis(fp[0][..., 0], -1, 0), jnp.moveaxis(fp[1][..., 0], -1, 0))
+    coeffs1 = (jnp.moveaxis(fp[0][..., 1], -1, 0), jnp.moveaxis(fp[1][..., 1], -1, 0))
+    # reversed coefficient order for Horner (reduce_with_powers semantics)
+    xs = ((coeffs0[0][::-1], coeffs0[1][::-1]),
+          (coeffs1[0][::-1], coeffs1[1][::-1]))
+
+    def horner_step(acc, x):
+        (c0, c1) = x                                             # gl pairs (B,)
+        c = ((c0[0][..., None], c0[1][..., None]),
+             (c1[0][..., None], c1[1][..., None]))               # (B,1) broadcast over Q
+        acc = gle.add(gle.mul(acc, sx_ext), c)
+        return acc, None
+
+    acc0 = gle.zeros_like(sx_ext)
+    acc, _ = jax.lax.scan(horner_step, acc0, xs)
+    verdict = verdict & gle.eq(acc, old_eval).all(axis=1)
+    return verdict
+
+
+def _bcast_ext(e, shape):
+    """Broadcast an ext value of batch shape (B,) to (B, Q)."""
+    def b(x):
+        return jnp.broadcast_to(x[..., None], shape)
+    return ((b(e[0][0]), b(e[0][1])), (b(e[1][0]), b(e[1][1])))
+
+
+def _square_n_gl(x, n):
+    for _ in range(n):
+        x = gl.mul(x, x)
+    return x
+
+
+def _compute_evaluation(S, x, within, arity_bits, evals, beta, bq_shape):
+    """Barycentric fold (fri/mod.rs:286-322, interpolate_coset 223-283)."""
+    arity = 1 << arity_bits
+    g = gl_int.primitive_root_of_unity(arity_bits)
+    g_inv = pow(g, arity - 1, gl_int.P)
+    # g_inv^(2^k) table
+    ginv_pows = []
+    cur = g_inv
+    for _ in range(arity_bits):
+        ginv_pows.append(cur)
+        cur = cur * cur % gl_int.P
+    rev_within = bit_reverse_u32(within, arity_bits)
+    start = exp_from_bits_const_base(rev_within, ginv_pows, arity_bits, bq_shape)
+    coset_start = gl.mul(start, x)
+
+    # interpolate over domain two_adic_subgroup(arity_bits), values bit-reversed
+    brv = np.array(reverse_index_bits(list(range(arity))), dtype=np.int32)
+    ev_brv = (evals[0][:, :, brv, :], evals[1][:, :, brv, :])    # (B,Q,arity,2)
+
+    domain = gl_int.two_adic_subgroup(arity_bits)
+    weights = _barycentric_weights_host(domain)
+
+    shifted = gle.scalar_mul(_bcast_ext(beta, bq_shape), gl.inv(coset_start))
+
+    # weighted values: ext scalar-mul by host weight constants
+    wv0, wv1 = [], []
+    for i in range(arity):
+        w = gl.full(bq_shape, weights[i])
+        e_i = ((ev_brv[0][..., i, 0], ev_brv[1][..., i, 0]),
+               (ev_brv[0][..., i, 1], ev_brv[1][..., i, 1]))
+        wv = gle.scalar_mul(e_i, w)
+        wv0.append(wv[0])
+        wv1.append(wv[1])
+    # stack for scan: xs = (arity, B, Q) per component
+    wv_hi0 = jnp.stack([v[0] for v in wv0]); wv_lo0 = jnp.stack([v[1] for v in wv0])
+    wv_hi1 = jnp.stack([v[0] for v in wv1]); wv_lo1 = jnp.stack([v[1] for v in wv1])
+    dom_hi = np.array([d >> 32 for d in domain], dtype=np.uint32)
+    dom_lo = np.array([d & 0xFFFFFFFF for d in domain], dtype=np.uint32)
+
+    def body(carry, xel):
+        ev_acc, partial = carry
+        (whi0, wlo0, whi1, wlo1, dhi, dlo) = xel
+        val = ((whi0, wlo0), (whi1, wlo1))
+        x_i = gle.from_base((jnp.broadcast_to(dhi, bq_shape),
+                             jnp.broadcast_to(dlo, bq_shape)))
+        term = gle.sub(shifted, x_i)
+        ev_acc = gle.add(gle.mul(ev_acc, term), gle.mul(val, partial))
+        partial = gle.mul(partial, term)
+        return (ev_acc, partial), None
+
+    zero = gle.zeros_like(shifted)
+    one = (gl.full(bq_shape, 1), gl.zeros(bq_shape))
+    (ev_out, _), _ = jax.lax.scan(
+        body, (zero, one),
+        (wv_hi0, wv_lo0, wv_hi1, wv_lo1, jnp.asarray(dom_hi), jnp.asarray(dom_lo)))
+    return ev_out
+
+
+def _barycentric_weights_host(domain):
+    """w_i = 1 / prod_{j != i} (x_i - x_j) over host ints."""
+    n = len(domain)
+    prods = []
+    for i in range(n):
+        acc = 1
+        for j in range(n):
+            if j != i:
+                acc = acc * ((domain[i] - domain[j]) % gl_int.P) % gl_int.P
+        prods.append(acc)
+    return gl_int.batch_inv(prods)

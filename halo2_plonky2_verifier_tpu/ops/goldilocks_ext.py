@@ -101,10 +101,31 @@ def eq(a, b):
 
 
 def reduce_with_powers(terms, alpha):
-    """Horner: sum_i terms[i] * alpha^i (reference: extension.rs:425-437)."""
-    acc = zeros_like(terms[0] if terms else alpha)
-    for t in reversed(terms):
-        acc = add(mul(acc, alpha), t)
+    """Horner: sum_i terms[i] * alpha^i (reference: extension.rs:425-437).
+
+    For >= 4 terms the fold is a lax.scan over the stacked terms so the
+    compiled graph holds one multiply body regardless of term count (deep
+    unrolled modmul chains compile super-linearly, especially on XLA:CPU).
+    """
+    if not terms:
+        return zeros_like(alpha)
+    if len(terms) < 4:
+        acc = zeros_like(terms[0])
+        for t in reversed(terms):
+            acc = add(mul(acc, alpha), t)
+        return acc
+
+    import jax
+    import jax.numpy as jnp
+
+    # stack leaves: terms reversed for Horner, axis 0 = term index
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=0), *reversed(terms))
+
+    def body(acc, t):
+        return add(mul(acc, alpha), t), None
+
+    acc, _ = jax.lax.scan(body, zeros_like(terms[0]), stacked)
     return acc
 
 

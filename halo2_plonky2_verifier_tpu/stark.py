@@ -1,0 +1,276 @@
+"""Top-level batched STARK verification on TPU (JAX).
+
+Executor form of the reference StarkChip (verifier/src/stark/mod.rs:104-374)
+plus ChallengerChip's challenge derivation (challenger/mod.rs:129-222) —
+with the vanishing-polynomial / quotient consistency check the reference
+leaves WIP (stark/mod.rs:202-321) implemented and ON by default.
+
+`build_verifier(stark, config, degree_bits, check_vanishing=True)` returns a
+function `verify(batch: ProofBatch) -> (B,) bool` suitable for jax.jit /
+vmap / shard_map.  One compilation serves every batch of the same geometry.
+"""
+
+import jax.numpy as jnp
+
+import jax
+
+from .fri import verify_fri
+from .ops import goldilocks as gl
+from .ops import goldilocks_ext as gle
+from .refimpl import field as gl_int
+from .refimpl.prover import eval_permutation_checks, get_permutation_batches
+from .transcript import TranscriptSchedule, extract, extract_ext, run_schedule
+from .witness import ProofBatch, canonicality_verdict, proof_shape
+
+
+class CollectingConsumer:
+    """ConstraintConsumer-compatible collector: records (selector, value)
+    pairs instead of folding immediately, so the alpha fold can run as one
+    lax.scan (deep unrolled chains compile super-linearly)."""
+
+    def __init__(self, F, z_last, lagrange_first, lagrange_last):
+        self.F = F
+        self.z_last = z_last
+        self.lagrange_first = lagrange_first
+        self.lagrange_last = lagrange_last
+        self.entries = []  # weighted constraint values, in emission order
+
+    def constraint(self, c):
+        self.entries.append(c)
+
+    def constraint_transition(self, c):
+        self.entries.append(self.F.mul(c, self.z_last))
+
+    def constraint_first_row(self, c):
+        self.entries.append(self.F.mul(c, self.lagrange_first))
+
+    def constraint_last_row(self, c):
+        self.entries.append(self.F.mul(c, self.lagrange_last))
+
+    def fold(self, alphas_ext):
+        """acc_j = fold(acc*alpha_j + c) over entries, one scan, all alphas
+        in parallel (alpha axis prepended)."""
+        import jax.numpy as jnp
+
+        n_a = len(alphas_ext)
+        # alphas stacked on a leading axis
+        al = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs, axis=0), *alphas_ext)
+        ent = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs, axis=0), *self.entries)
+
+        def body(acc, c):
+            # acc: (n_a, B...) ext; c: (B...) ext broadcast over alpha axis
+            cb = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (n_a,) + x.shape), c)
+            return gle.add(gle.mul(acc, al), cb), None
+
+        zero = jax.tree_util.tree_map(
+            lambda x: jnp.zeros_like(x), al)
+        acc, _ = jax.lax.scan(body, zero, ent)
+        # unstack per alpha
+        return [jax.tree_util.tree_map(lambda x: x[j], acc) for j in range(n_a)]
+
+
+class ExtOpsJax:
+    """Field-ops adapter over extension lane pairs, for Stark.eval /
+    ConstraintConsumer (same interface as refimpl.field_ops.ExtOps)."""
+
+    def __init__(self, batch_shape):
+        self.batch_shape = batch_shape
+
+    def zero(self):
+        return (gl.zeros(self.batch_shape), gl.zeros(self.batch_shape))
+
+    def one(self):
+        return (gl.full(self.batch_shape, 1), gl.zeros(self.batch_shape))
+
+    def add(self, a, b):
+        return gle.add(a, b)
+
+    def sub(self, a, b):
+        return gle.sub(a, b)
+
+    def mul(self, a, b):
+        return gle.mul(a, b)
+
+    def from_base(self, x):
+        # host int or gl lane pair
+        if isinstance(x, tuple) and isinstance(x[0], int):
+            return (gl.full(self.batch_shape, x[0]), gl.full(self.batch_shape, x[1]))
+        if isinstance(x, int):
+            return (gl.full(self.batch_shape, x), gl.zeros(self.batch_shape))
+        return gle.from_base(x)
+
+
+def _ext_rows(pair):
+    """(B, n, 2) gl pair -> list of n ext (B,) values."""
+    n = pair[0].shape[1]
+    return [
+        ((pair[0][:, i, 0], pair[1][:, i, 0]), (pair[0][:, i, 1], pair[1][:, i, 1]))
+        for i in range(n)
+    ]
+
+
+def fri_instance_polys(shape):
+    """Oracle/polynomial layout (reference: stark/mod.rs:145-200).
+    Returns (zeta_polys, zeta_next_polys) as (oracle_index, poly_index) lists."""
+    trace = [(0, i) for i in range(shape.num_columns)]
+    zs, quot_oracle = [], 1
+    if shape.uses_permutation:
+        zs = [(1, i) for i in range(shape.num_zs)]
+        quot_oracle = 2
+    quot = [(quot_oracle, i) for i in range(shape.num_quotient)]
+    return trace + zs + quot, trace + zs
+
+
+def build_verifier(stark, config, degree_bits, check_vanishing=True):
+    shape = proof_shape(stark, config, degree_bits)
+
+    def verify(batch: ProofBatch):
+        S = batch.shape
+        B = batch.batch_size
+        verdict = canonicality_verdict(batch)
+
+        # ------------------------------------------------------------------
+        # 1. Transcript: build the static schedule while concatenating the
+        #    observed element stream (order = challenger/mod.rs:168-222).
+        # ------------------------------------------------------------------
+        sched = TranscriptSchedule()
+        parts = []
+
+        def observe(pair):
+            flat = (pair[0].reshape(B, -1), pair[1].reshape(B, -1))
+            sched.observe(flat[0].shape[1])
+            parts.append(flat)
+
+        observe(batch.trace_cap)
+
+        perm_refs = None
+        if S.uses_permutation:
+            perm_refs = [
+                [(sched.get_challenge(), sched.get_challenge())
+                 for _ in range(S.num_challenges)]
+                for _ in range(S.num_challenge_sets)
+            ]
+            observe(batch.zs_cap)
+
+        alpha_refs = sched.get_n_challenges(S.num_challenges)
+
+        observe(batch.quotient_cap)
+        zeta_ref = sched.get_extension_challenge()
+
+        # openings in to_fri_openings order (stark/mod.rs:48-70)
+        observe(batch.local_values)
+        if S.uses_permutation:
+            observe(batch.permutation_zs)
+        observe(batch.quotient_polys)
+        observe(batch.next_values)
+        if S.uses_permutation:
+            observe(batch.permutation_zs_next)
+
+        fri_alpha_ref = sched.get_extension_challenge()
+        beta_refs = []
+        for cap in batch.commit_caps:
+            observe(cap)
+            beta_refs.append(sched.get_extension_challenge())
+        observe(batch.final_poly)
+        observe((batch.pow_witness[0][:, None], batch.pow_witness[1][:, None]))
+        pow_ref = sched.get_challenge()
+        query_refs = sched.get_n_challenges(S.num_queries)
+
+        elements = (jnp.concatenate([p[0] for p in parts], axis=1),
+                    jnp.concatenate([p[1] for p in parts], axis=1))
+        assert elements[0].shape[1] == sched.n_elements
+        ys = run_schedule(sched, elements)
+
+        # ------------------------------------------------------------------
+        # 2. Extract challenge values
+        # ------------------------------------------------------------------
+        zeta = extract_ext(ys, zeta_ref)
+        alphas = [extract(ys, r) for r in alpha_refs]
+        fri_alpha = extract_ext(ys, fri_alpha_ref)
+        fri_betas = [extract_ext(ys, r) for r in beta_refs]
+        pow_response = extract(ys, pow_ref)
+        # query indices: only low 32 bits needed (lde_bits < 32)
+        import numpy as np
+        q_steps = np.array([r.step for r in query_refs])
+        q_lanes = np.array([r.lane for r in query_refs])
+        query_lo = ys[1][q_steps, :, q_lanes].T if ys[1].ndim == 3 \
+            else ys[1][q_steps, q_lanes]
+        # (B, Q)
+
+        perm_challenges = None
+        if S.uses_permutation:
+            perm_challenges = [
+                [(extract(ys, b), extract(ys, g)) for (b, g) in cset]
+                for cset in perm_refs
+            ]
+
+        # ------------------------------------------------------------------
+        # 3. Vanishing polynomial / quotient consistency at zeta
+        #    (the reference's WIP check, reconstructed; stark/mod.rs:253-321)
+        # ------------------------------------------------------------------
+        g_sub = gl_int.primitive_root_of_unity(S.degree_bits)
+        n = 1 << S.degree_bits
+        if check_vanishing:
+            F = ExtOpsJax((B,))
+            one = F.one()
+            zeta_pow_n = gle.exp_power_of_2(zeta, S.degree_bits)
+            z_h_zeta = gle.sub(zeta_pow_n, one)
+            l0_den = gle.scalar_mul(gle.sub(zeta, one), gl.full((B,), n))
+            llast_den = gle.scalar_mul(
+                gle.sub(gle.scalar_mul(zeta, gl.full((B,), g_sub)), one),
+                gl.full((B,), n))
+            l0 = gle.mul(z_h_zeta, gle.inv(l0_den))
+            llast = gle.mul(z_h_zeta, gle.inv(llast_den))
+            z_last = gle.sub(zeta, F.from_base(pow(g_sub, n - 1, gl_int.P)))
+
+            alphas_ext = [gle.from_base(a) for a in alphas]
+            consumer = CollectingConsumer(F, z_last, l0, llast)
+            local = _ext_rows(batch.local_values)
+            nxt = _ext_rows(batch.next_values)
+            pis = [gle.from_base((batch.public_inputs[0][:, i],
+                                  batch.public_inputs[1][:, i]))
+                   for i in range(S.num_public_inputs)]
+            stark.eval(F, local, nxt, pis, consumer)
+            if S.uses_permutation:
+                batches = get_permutation_batches(
+                    stark.permutation_pairs(), perm_challenges,
+                    S.num_challenges, stark.permutation_batch_size())
+                eval_permutation_checks(
+                    F, local, _ext_rows(batch.permutation_zs),
+                    _ext_rows(batch.permutation_zs_next), batches, consumer)
+
+            accumulators = consumer.fold(alphas_ext)
+            quot_rows = _ext_rows(batch.quotient_polys)
+            factor = len(quot_rows) // S.num_challenges
+            for i, acc in enumerate(accumulators):
+                chunk = quot_rows[i * factor:(i + 1) * factor]
+                recombined = gle.reduce_with_powers(chunk, zeta_pow_n)
+                ok = gle.eq(gle.mul(z_h_zeta, recombined), acc)
+                verdict = verdict & ok
+
+        # ------------------------------------------------------------------
+        # 4. FRI
+        # ------------------------------------------------------------------
+        zeta_next = gle.scalar_mul(zeta, gl.full((B,), g_sub))
+        zeta_polys, zeta_next_polys = fri_instance_polys(S)
+        openings_zeta = (_ext_rows(batch.local_values)
+                         + (_ext_rows(batch.permutation_zs) if S.uses_permutation else [])
+                         + _ext_rows(batch.quotient_polys))
+        openings_zeta_next = (_ext_rows(batch.next_values)
+                              + (_ext_rows(batch.permutation_zs_next)
+                                 if S.uses_permutation else []))
+        challenges = {
+            "fri_alpha": fri_alpha,
+            "fri_betas": fri_betas,
+            "fri_pow_response": pow_response,
+            "query_lo": query_lo,
+            "instance_batches": [(zeta, zeta_polys), (zeta_next, zeta_next_polys)],
+            "openings_batches": [openings_zeta, openings_zeta_next],
+        }
+        verdict = verify_fri(shape, batch, challenges, verdict)
+        return verdict
+
+    return verify

@@ -1,0 +1,77 @@
+"""Benchmark: Fibonacci-STARK FRI verifications/sec on one chip.
+
+Flagship workload = the reference's profiled configuration
+(test_fibonacci_stark_gl with n=2^5 rows, StarkConfig::standard_fast_config —
+see BASELINE.md): full verification including transcript, 84 FRI query
+rounds, merged Merkle checks, and the vanishing-polynomial consistency check
+the reference leaves WIP.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the BASELINE.json north-star target of
+10,000 verifications/sec/chip (the reference publishes no wall-clock numbers).
+"""
+
+import copy
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import numpy as np
+
+    # persistent compilation cache: repeat bench runs skip the big compile
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from halo2_plonky2_verifier_tpu import build_verifier, load_proofs, proof_shape
+    from halo2_plonky2_verifier_tpu.refimpl.fixtures import get_fibonacci_proof
+    from halo2_plonky2_verifier_tpu.utils.compile import smart_jit
+
+    num_rows = int(os.environ.get("BENCH_NUM_ROWS", "32"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "512"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+
+    stark, config, pwp = get_fibonacci_proof(num_rows)
+    degree_bits = pwp.proof.recover_degree_bits(config)
+    shape = proof_shape(stark, config, degree_bits)
+    proofs = [copy.deepcopy(pwp) for _ in range(batch_size)]
+    batch = load_proofs(proofs, shape)
+
+    verify = smart_jit(build_verifier(stark, config, degree_bits))
+    t0 = time.time()
+    verdict = np.asarray(verify(batch))
+    compile_s = time.time() - t0
+    assert verdict.all(), "benchmark proofs must verify"
+
+    # timed region
+    t0 = time.time()
+    for _ in range(iters):
+        v = verify(batch)
+    v.block_until_ready()
+    dt = (time.time() - t0) / iters
+    proofs_per_sec = batch_size / dt
+
+    target = 10_000.0  # BASELINE.json north-star (v5p); reference has no numbers
+    print(json.dumps({
+        "metric": "fib_stark_fri_verifications_per_sec_per_chip",
+        "value": round(proofs_per_sec, 1),
+        "unit": "proofs/s",
+        "vs_baseline": round(proofs_per_sec / target, 4),
+    }))
+    print(f"# n=2^{degree_bits} rows, batch={batch_size}, {dt*1e3:.1f} ms/batch, "
+          f"compile {compile_s:.0f}s, device={jax.devices()[0].device_kind}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -149,8 +149,16 @@ def verify_fri(shape, batch, challenges, verdict):
     # --- combine_initial (fri/mod.rs:170-220) ------------------------------
     alpha_bq = _bcast_ext(alpha, (B, Q))
     sx_ext = gle.from_base(subgroup_x)
+    # all batch denominators inverted with one Fermat chain
+    denoms = [gle.sub(sx_ext, _bcast_ext(point, (B, Q)))
+              for (point, _) in challenges["instance_batches"]]
+    if len(denoms) == 2:
+        denom_invs = list(gle.inv_pair(denoms[0], denoms[1]))
+    else:
+        denom_invs = [gle.inv(d) for d in denoms]
     total = gle.zeros_like(sx_ext)
-    for (point, polys), red_open in zip(challenges["instance_batches"], reduced_openings):
+    for (point, polys), red_open, denom_inv in zip(
+            challenges["instance_batches"], reduced_openings, denom_invs):
         evals = []
         for (oi, pi) in polys:
             ev = (batch.initial_evals[oi][0][..., pi],
@@ -158,10 +166,9 @@ def verify_fri(shape, batch, challenges, verdict):
             evals.append(gle.from_base(ev))
         reduced_evals = gle.reduce_with_powers(evals, alpha_bq)
         numerator = gle.sub(reduced_evals, _bcast_ext(red_open, (B, Q)))
-        denominator = gle.sub(sx_ext, _bcast_ext(point, (B, Q)))
         alpha_shift = gle.exp_const(alpha_bq, len(evals))
         total = gle.mul(alpha_shift, total)
-        total = gle.add(gle.mul(numerator, gle.inv(denominator)), total)
+        total = gle.add(gle.mul(numerator, denom_inv), total)
     old_eval = total
 
     # --- merged Merkle checks ----------------------------------------------

@@ -69,6 +69,18 @@ def div(a, b):
     return mul(a, inv(b))
 
 
+def inv_pair(a, b):
+    """(1/a, 1/b) with a single base-field Fermat exponentiation
+    (Montgomery trick over the two norms)."""
+    norm_a = gl.sub(gl.square(a[0]), gl.mul_const_small(gl.square(a[1]), W))
+    norm_b = gl.sub(gl.square(b[0]), gl.mul_const_small(gl.square(b[1]), W))
+    prod_inv = gl.inv(gl.mul(norm_a, norm_b))
+    na_inv = gl.mul(prod_inv, norm_b)
+    nb_inv = gl.mul(prod_inv, norm_a)
+    return ((gl.mul(a[0], na_inv), gl.mul(gl.neg(a[1]), na_inv)),
+            (gl.mul(b[0], nb_inv), gl.mul(gl.neg(b[1]), nb_inv)))
+
+
 def exp_const(a, e):
     """a^e for host-known exponent (unrolled square-and-multiply)."""
     e = int(e)

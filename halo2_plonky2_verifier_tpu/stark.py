@@ -222,8 +222,9 @@ def build_verifier(stark, config, degree_bits, check_vanishing=True):
             llast_den = gle.scalar_mul(
                 gle.sub(gle.scalar_mul(zeta, gl.full((B,), g_sub)), one),
                 gl.full((B,), n))
-            l0 = gle.mul(z_h_zeta, gle.inv(l0_den))
-            llast = gle.mul(z_h_zeta, gle.inv(llast_den))
+            l0_den_inv, llast_den_inv = gle.inv_pair(l0_den, llast_den)
+            l0 = gle.mul(z_h_zeta, l0_den_inv)
+            llast = gle.mul(z_h_zeta, llast_den_inv)
             z_last = gle.sub(zeta, F.from_base(pow(g_sub, n - 1, gl_int.P)))
 
             alphas_ext = [gle.from_base(a) for a in alphas]

@@ -1,0 +1,44 @@
+"""Compilation helpers.
+
+XLA:CPU's fusion pass scales catastrophically on this framework's deep
+integer-op graphs (observed: 47+ CPU-minutes for the 8-device GSPMD dryrun vs
+~2 minutes with fusion disabled, with no measurable run-time regression on
+the verifier).  TPU compilation is unaffected and keeps full optimization.
+
+`smart_jit` is a drop-in jax.jit that, on CPU backends only, compiles with
+the fusion pass disabled (per-computation compiler_options — no environment
+flags required, so it works under any driver/pytest harness).
+"""
+
+import jax
+
+_CPU_COMPILER_OPTIONS = {"xla_disable_hlo_passes": "fusion"}
+
+
+class _SmartJit:
+    def __init__(self, fn, jit_kwargs):
+        self._jitted = jax.jit(fn, **jit_kwargs)
+        self._cpu_cache = {}
+
+    def _key(self, args):
+        leaves, treedef = jax.tree_util.tree_flatten(args)
+        return (treedef, tuple((getattr(x, "shape", None), getattr(x, "dtype", None))
+                               for x in leaves))
+
+    def __call__(self, *args):
+        if jax.default_backend() != "cpu":
+            return self._jitted(*args)
+        key = self._key(args)
+        compiled = self._cpu_cache.get(key)
+        if compiled is None:
+            compiled = self._jitted.lower(*args).compile(
+                compiler_options=_CPU_COMPILER_OPTIONS)
+            self._cpu_cache[key] = compiled
+        return compiled(*args)
+
+    def lower(self, *args):
+        return self._jitted.lower(*args)
+
+
+def smart_jit(fn, **jit_kwargs):
+    return _SmartJit(fn, jit_kwargs)

@@ -19,4 +19,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# NOTE: the persistent compilation cache is deliberately NOT enabled for CPU
+# test runs — XLA:CPU AOT cache entries reload with machine-feature mismatch
+# warnings ("could lead to ... SIGILL"), and the observed speedup was small.
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -8,6 +8,7 @@ import pytest
 
 import jax
 
+from halo2_plonky2_verifier_tpu.utils.compile import smart_jit
 from halo2_plonky2_verifier_tpu import build_verifier, load_proofs, proof_shape
 from halo2_plonky2_verifier_tpu.refimpl import field as gl
 from halo2_plonky2_verifier_tpu.refimpl.fixtures import get_fibonacci_proof
@@ -25,7 +26,7 @@ def _setup(num_rows, batch=2):
 def test_verify_accepts_valid_proofs(num_rows):
     stark, config, degree_bits, shape, proofs = _setup(num_rows)
     batch = load_proofs(proofs, shape)
-    verify = jax.jit(build_verifier(stark, config, degree_bits))
+    verify = smart_jit(build_verifier(stark, config, degree_bits))
     verdict = np.asarray(verify(batch))
     assert verdict.shape == (2,)
     assert verdict.all(), "valid proofs must verify"
@@ -43,7 +44,7 @@ def test_verify_rejects_tampering():
     ev.evals_proofs[0][0][1] = (ev.evals_proofs[0][0][1] + 1) % gl.P
 
     batch = load_proofs(proofs, shape)
-    verify = jax.jit(build_verifier(stark, config, degree_bits))
+    verify = smart_jit(build_verifier(stark, config, degree_bits))
     verdict = np.asarray(verify(batch))
     assert verdict[0], "untampered lane must stay valid"
     assert not verdict[1:].any(), f"tampered lanes must fail: {verdict}"
@@ -54,7 +55,7 @@ def test_verify_rejects_noncanonical_witness():
     # a value >= p must be rejected by the canonicality (range) check
     proofs[1].proof.openings.next_values[0] = (gl.P, 0)
     batch = load_proofs(proofs, shape)
-    verify = jax.jit(build_verifier(stark, config, degree_bits))
+    verify = smart_jit(build_verifier(stark, config, degree_bits))
     verdict = np.asarray(verify(batch))
     assert verdict[0] and not verdict[1]
 

@@ -38,7 +38,10 @@ def main():
     from halo2_plonky2_verifier_tpu.utils.compile import smart_jit
 
     num_rows = int(os.environ.get("BENCH_NUM_ROWS", "32"))
-    batch_size = int(os.environ.get("BENCH_BATCH", "512"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "256"))
+    # sub-batches scanned inside one jit call: amortizes dispatch overhead
+    # while keeping the per-step working set cache-friendly
+    sub_batches = int(os.environ.get("BENCH_SUBBATCHES", "1"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
 
     stark, config, pwp = get_fibonacci_proof(num_rows)
@@ -47,7 +50,17 @@ def main():
     proofs = [copy.deepcopy(pwp) for _ in range(batch_size)]
     batch = load_proofs(proofs, shape)
 
-    verify = smart_jit(build_verifier(stark, config, degree_bits))
+    verify_one = build_verifier(stark, config, degree_bits)
+    if sub_batches > 1:
+        batch = jax.tree_util.tree_map(
+            lambda x: jax.numpy.stack([x] * sub_batches), batch)
+        batch_size = batch_size * sub_batches
+
+        def verify_fn(b):
+            return jax.lax.map(verify_one, b).reshape(-1)
+    else:
+        verify_fn = verify_one
+    verify = smart_jit(verify_fn)
     t0 = time.time()
     verdict = np.asarray(verify(batch))
     compile_s = time.time() - t0

@@ -1,0 +1,147 @@
+"""Fused Pallas TPU kernel for the Poseidon-Goldilocks permutation.
+
+The permutation is the framework's hot op (Merkle `two_to_one` is ~88% of the
+reference's workload, BASELINE.md).  The jnp/scan implementation materializes
+the sponge state between rounds; this kernel keeps the full 30-round
+permutation resident in VMEM: one HBM read of the input states, one write of
+the outputs.
+
+Layout: states are processed as (12, N) planes — state element index on the
+sublane axis, batch on the 128-wide lane axis — so the circulant MDS layer is
+11 sublane rolls of raw u16-limb products (column sums < 2^26) with a single
+modular reduction per element, and every other op is a (12, TILE)-wide VPU op.
+
+Differentially tested against ops.poseidon (jnp) and refimpl (ints); used by
+ops.poseidon when the backend is TPU (POSEIDON_IMPL=jnp opts out).
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants.poseidon_goldilocks import (
+    ALL_ROUND_CONSTANTS,
+    HALF_N_FULL_ROUNDS,
+    MDS_MATRIX_CIRC,
+    MDS_MATRIX_DIAG,
+    N_PARTIAL_ROUNDS,
+    N_ROUNDS,
+    SPONGE_WIDTH,
+)
+from . import goldilocks as gl
+
+W = SPONGE_WIDTH
+_MASK16 = np.uint32(0xFFFF)
+_TILE = 512  # batch lanes per grid step (multiple of 128)
+
+_RC = np.array(ALL_ROUND_CONSTANTS, dtype=np.uint64).reshape(N_ROUNDS, W)
+# (12, 30): state-element on sublanes, round index on lanes -> slicing one
+# round's constants yields a (12, 1) column that broadcasts across the batch
+_RC_HI = np.ascontiguousarray((_RC >> np.uint64(32)).astype(np.uint32).T)
+_RC_LO = np.ascontiguousarray((_RC & np.uint64(0xFFFFFFFF)).astype(np.uint32).T)
+_CIRC = [np.uint32(c) for c in MDS_MATRIX_CIRC]
+_DIAG0 = np.uint32(MDS_MATRIX_DIAG[0])
+
+
+def _sbox(x):
+    x2 = gl.mul(x, x)
+    x4 = gl.mul(x2, x2)
+    x6 = gl.mul(x4, x2)
+    return gl.mul(x6, x)
+
+
+def _mds_planes(hi, lo):
+    """MDS over (12, T) planes via incremental sublane rolls in limb space."""
+    limbs = [lo & _MASK16, lo >> 16, hi & _MASK16, hi >> 16]
+    cols = [limbs[k] * _CIRC[0] for k in range(4)]
+    rolled = limbs
+    for i in range(1, W):
+        # roll by -1 == roll by W-1 (pltpu.roll requires non-negative shifts)
+        rolled = [pltpu.roll(l, W - 1, 0) for l in rolled]
+        for k in range(4):
+            cols[k] = cols[k] + rolled[k] * _CIRC[i]
+    # diagonal: only row 0 gets DIAG0 * state[0]; build via row mask
+    row_ids = jax.lax.broadcasted_iota(jnp.uint32, cols[0].shape, 0)
+    row0 = (row_ids == 0).astype(jnp.uint32)
+    for k in range(4):
+        cols[k] = cols[k] + (limbs[k] * _DIAG0) * row0
+    # carry propagate -> 5 u16 limbs (+ residual)
+    out_limbs = []
+    carry = jnp.zeros_like(cols[0])
+    for k in range(4):
+        v = cols[k] + carry
+        out_limbs.append(v & _MASK16)
+        carry = v >> 16
+    lo64 = gl.from_limbs16(out_limbs)
+    hi64 = (jnp.zeros_like(carry), carry)
+    return gl.reduce128(hi64, lo64)
+
+
+def _permute_planes(hi, lo, rc_hi, rc_lo):
+    """Full 30-round permutation on (12, T) hi/lo planes (unrolled).
+    rc_hi/rc_lo: (12, 30) round-constant planes."""
+    state = (hi, lo)
+    for rnd in range(N_ROUNDS):
+        rc = (rc_hi[:, rnd:rnd + 1], rc_lo[:, rnd:rnd + 1])   # (12, 1)
+        state = gl.add(state, rc)
+        if HALF_N_FULL_ROUNDS <= rnd < HALF_N_FULL_ROUNDS + N_PARTIAL_ROUNDS:
+            s0 = (state[0][0:1, :], state[1][0:1, :])
+            s0 = _sbox(s0)
+            state = (jnp.concatenate([s0[0], state[0][1:, :]], axis=0),
+                     jnp.concatenate([s0[1], state[1][1:, :]], axis=0))
+        else:
+            state = _sbox(state)
+        state = _mds_planes(state[0], state[1])
+    return state
+
+
+def _permute_kernel(rc_hi_ref, rc_lo_ref, hi_ref, lo_ref, oh_ref, ol_ref):
+    hi, lo = _permute_planes(hi_ref[:], lo_ref[:], rc_hi_ref[:], rc_lo_ref[:])
+    oh_ref[:] = hi
+    ol_ref[:] = lo
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def permute_planes(hi, lo, interpret=False):
+    """(12, N) hi/lo u32 planes -> permuted planes; N padded to _TILE."""
+    n = hi.shape[1]
+    n_pad = -n % _TILE
+    if n_pad:
+        hi = jnp.pad(hi, ((0, 0), (0, n_pad)))
+        lo = jnp.pad(lo, ((0, 0), (0, n_pad)))
+    total = hi.shape[1]
+    grid = (total // _TILE,)
+    spec = pl.BlockSpec((W, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+    rc_spec = pl.BlockSpec((W, N_ROUNDS), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    out_hi, out_lo = pl.pallas_call(
+        _permute_kernel,
+        grid=grid,
+        in_specs=[rc_spec, rc_spec, spec, spec],
+        out_specs=(spec, spec),
+        out_shape=(jax.ShapeDtypeStruct((W, total), jnp.uint32),
+                   jax.ShapeDtypeStruct((W, total), jnp.uint32)),
+        interpret=interpret,
+    )(jnp.asarray(_RC_HI), jnp.asarray(_RC_LO), hi, lo)
+    if n_pad:
+        out_hi = out_hi[:, :n]
+        out_lo = out_lo[:, :n]
+    return out_hi, out_lo
+
+
+def permute(state, interpret=False):
+    """Drop-in for ops.poseidon.permute: (hi, lo) pair of (..., 12) u32."""
+    hi, lo = state
+    batch_shape = hi.shape[:-1]
+    n = 1
+    for d in batch_shape:
+        n *= d
+    hi2 = hi.reshape(n, W).T          # (12, N)
+    lo2 = lo.reshape(n, W).T
+    oh, ol = permute_planes(hi2, lo2, interpret=interpret)
+    return (oh.T.reshape(batch_shape + (W,)), ol.T.reshape(batch_shape + (W,)))

@@ -88,8 +88,16 @@ def sharded_verifier(stark, config, degree_bits, mesh, check_vanishing=True):
     the verdict is replicated (GSPMD all-reduces the per-shard partials)."""
     from ..stark import build_verifier
 
+    from ..ops.poseidon import force_impl
     from ..utils.compile import smart_jit
 
     vf = build_verifier(stark, config, degree_bits, check_vanishing)
+
+    def vf_sharded(batch):
+        # GSPMD cannot auto-partition a pallas_call; the scan-based jnp
+        # Poseidon shards cleanly over (dp, qp).
+        with force_impl("jnp"):
+            return vf(batch)
+
     out_sharding = NamedSharding(mesh, P("dp"))
-    return smart_jit(vf, out_shardings=out_sharding)
+    return smart_jit(vf_sharded, out_shardings=out_sharding)

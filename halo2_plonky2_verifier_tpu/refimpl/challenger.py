@@ -29,13 +29,18 @@ class Challenger:
         for x in xs:
             self.observe_element(x)
 
-    def observe_hash(self, h):
-        assert len(h) == NUM_HASH_OUT_ELTS
-        self.observe_elements(h)
+    def observe_hash(self, h, hasher=None):
+        """Observe a hash value; `hasher` converts non-Goldilocks hash types
+        (e.g. BN254 Fr -> 5 x 56-bit limbs, challenger/mod.rs:59-63)."""
+        if hasher is not None:
+            self.observe_elements(hasher.to_goldilocks_vec(h))
+        else:
+            assert len(h) == NUM_HASH_OUT_ELTS
+            self.observe_elements(h)
 
-    def observe_cap(self, cap):
+    def observe_cap(self, cap, hasher=None):
         for h in cap:
-            self.observe_hash(h)
+            self.observe_hash(h, hasher)
 
     def observe_extension_element(self, e):
         self.observe_elements([e[0], e[1]])

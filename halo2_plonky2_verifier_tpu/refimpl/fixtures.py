@@ -18,19 +18,23 @@ def fibonacci_public_inputs(num_rows):
     return [0, 1, fibonacci(num_rows - 1, 0, 1, gl.P)]
 
 
-def get_fibonacci_proof(num_rows, config=None, cache_dir=None):
-    """Returns (stark, config, proof_with_pis); generates and caches on miss."""
+def get_fibonacci_proof(num_rows, config=None, cache_dir=None, hasher=None):
+    """Returns (stark, config, proof_with_pis); generates and caches on miss.
+
+    `hasher=refimpl.hashers.BN254` produces the PoseidonBN128GoldilocksConfig
+    analog (BN254 Merkle commitments, Goldilocks transcript)."""
     config = config or StarkConfig.standard_fast_config()
     cache_dir = cache_dir or FIXTURE_DIR
     stark = FibonacciStark(num_rows)
-    path = os.path.join(cache_dir, f"fib_stark_n{num_rows}.json")
+    suffix = "" if hasher is None or hasher.name == "poseidon_goldilocks"         else f"_{hasher.name}"
+    path = os.path.join(cache_dir, f"fib_stark_n{num_rows}{suffix}.json")
     if os.path.exists(path):
         with open(path) as f:
             return stark, config, proof_from_json(f.read())
     from . import prover
     public_inputs = fibonacci_public_inputs(num_rows)
     trace = stark.generate_trace(public_inputs[0], public_inputs[1], gl.P)
-    pwp = prover.prove(stark, config, trace, public_inputs)
+    pwp = prover.prove(stark, config, trace, public_inputs, hasher)
     os.makedirs(cache_dir, exist_ok=True)
     with open(path, "w") as f:
         f.write(proof_to_json(pwp))

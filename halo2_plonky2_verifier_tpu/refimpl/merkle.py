@@ -11,23 +11,25 @@ LSB-first over the leaf index bits; at each level, bit=1 means the current node
 is the right child.  cap index = leaf_index >> num_siblings.
 """
 
-from .poseidon import hash_or_noop, two_to_one
+from .hashers import GOLDILOCKS
 
 
 class MerkleTree:
-    def __init__(self, leaves, cap_height):
+    def __init__(self, leaves, cap_height, hasher=GOLDILOCKS):
         n = len(leaves)
         assert n & (n - 1) == 0, "number of leaves must be a power of 2"
         log_n = n.bit_length() - 1
         assert 0 <= cap_height <= log_n
         self.leaves = leaves
         self.cap_height = cap_height
+        self.hasher = hasher
         # levels[0] = leaf hashes; levels[k] = nodes at height k above leaves.
-        levels = [[hash_or_noop(leaf) for leaf in leaves]]
+        levels = [[hasher.hash_or_noop(leaf) for leaf in leaves]]
         while len(levels[-1]) > (1 << cap_height):
             prev = levels[-1]
             levels.append(
-                [two_to_one(prev[2 * i], prev[2 * i + 1]) for i in range(len(prev) // 2)]
+                [hasher.two_to_one(prev[2 * i], prev[2 * i + 1])
+                 for i in range(len(prev) // 2)]
             )
         self.levels = levels
         self.cap = levels[-1]
@@ -41,14 +43,15 @@ class MerkleTree:
         return siblings
 
 
-def verify_merkle_proof_to_cap(leaf_data, leaf_index, cap, siblings):
+def verify_merkle_proof_to_cap(leaf_data, leaf_index, cap, siblings,
+                               hasher=GOLDILOCKS):
     """Reference check used in tests; mirrors the chip's verification order."""
-    node = hash_or_noop(leaf_data)
+    node = hasher.hash_or_noop(leaf_data)
     index = leaf_index
     for sibling in siblings:
         if index & 1:
-            node = two_to_one(sibling, node)
+            node = hasher.two_to_one(sibling, node)
         else:
-            node = two_to_one(node, sibling)
+            node = hasher.two_to_one(node, sibling)
         index >>= 1
     return cap[index] == node

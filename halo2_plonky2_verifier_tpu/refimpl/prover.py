@@ -38,7 +38,9 @@ class PolynomialBatch:
     """plonky2 fri::oracle::PolynomialBatch: commit to a batch of polynomials
     via Merkle tree over bit-reversed LDE rows."""
 
-    def __init__(self, polynomials, rate_bits, cap_height):
+    def __init__(self, polynomials, rate_bits, cap_height, hasher=None):
+        from .hashers import GOLDILOCKS
+        hasher = hasher or GOLDILOCKS
         # polynomials: list of coefficient lists (all same length, power of 2)
         self.polynomials = polynomials
         self.rate_bits = rate_bits
@@ -52,11 +54,12 @@ class PolynomialBatch:
         n_lde = len(self.lde_values[0])
         rows = [[col[i] for col in self.lde_values] for i in range(n_lde)]
         leaves = fft.reverse_index_bits(rows)
-        self.merkle_tree = MerkleTree(leaves, cap_height)
+        self.merkle_tree = MerkleTree(leaves, cap_height, hasher)
 
     @staticmethod
-    def from_values(values, rate_bits, cap_height):
-        return PolynomialBatch([fft.ifft(v) for v in values], rate_bits, cap_height)
+    def from_values(values, rate_bits, cap_height, hasher=None):
+        return PolynomialBatch([fft.ifft(v) for v in values], rate_bits,
+                               cap_height, hasher)
 
     def eval_at_ext(self, point):
         return [fft.eval_poly_ext(p, point) for p in self.polynomials]
@@ -242,7 +245,10 @@ def _coset_fft_ext(coeffs, shift):
     return list(zip(a, b))
 
 
-def fri_prove_openings(instance_batches, oracles, challenger, fri_params):
+def fri_prove_openings(instance_batches, oracles, challenger, fri_params,
+                       hasher=None):
+    from .hashers import GOLDILOCKS
+    hasher = hasher or GOLDILOCKS
     """plonky2 PolynomialBatch::prove_openings + fri_proof.
 
     instance_batches: list of (point_ext, [(oracle_index, polynomial_index)]).
@@ -281,10 +287,10 @@ def fri_prove_openings(instance_batches, oracles, challenger, fri_params):
 
     return _fri_proof(
         [o.merkle_tree for o in oracles],
-        lde_final_coeffs, lde_final_values, challenger, fri_params)
+        lde_final_coeffs, lde_final_values, challenger, fri_params, hasher)
 
 
-def _fri_proof(initial_trees, coeffs, values, challenger, fri_params):
+def _fri_proof(initial_trees, coeffs, values, challenger, fri_params, hasher):
     cap_height = fri_params.config.cap_height
     n = len(values)
 
@@ -298,8 +304,8 @@ def _fri_proof(initial_trees, coeffs, values, challenger, fri_params):
             [x for e in values_brv[i:i + arity] for x in e]  # flatten ext pairs
             for i in range(0, len(values_brv), arity)
         ]
-        tree = MerkleTree(leaves, cap_height)
-        challenger.observe_cap(tree.cap)
+        tree = MerkleTree(leaves, cap_height, hasher)
+        challenger.observe_cap(tree.cap, hasher)
         trees.append(tree)
         beta = challenger.get_extension_challenge()
         # P(x) = sum_i x^i P_i(x^arity)  ->  sum_i beta^i P_i(x)
@@ -431,9 +437,16 @@ def fri_instance_batches(stark, config, zeta, g_sub):
     ]
 
 
-def prove(stark, config: StarkConfig, trace_values, public_inputs):
+def prove(stark, config: StarkConfig, trace_values, public_inputs, hasher=None):
     """Produce a StarkProofWithPublicInputs for `stark` on `trace_values`
-    (column-major list of value lists)."""
+    (column-major list of value lists).
+
+    `hasher` selects the Merkle/commitment hash (hashers.GOLDILOCKS default,
+    hashers.BN254 for the PoseidonBN128GoldilocksConfig analog); the
+    Fiat-Shamir transcript is always the Goldilocks Poseidon sponge
+    (reference: stark/mod.rs:493-499)."""
+    from .hashers import GOLDILOCKS
+    hasher = hasher or GOLDILOCKS
     degree = len(trace_values[0])
     degree_bits = degree.bit_length() - 1
     assert 1 << degree_bits == degree
@@ -443,9 +456,10 @@ def prove(stark, config: StarkConfig, trace_values, public_inputs):
     assert fri_params.total_arities <= degree_bits + rate_bits - cap_height, \
         "FRI total reduction arity is too large"
 
-    trace_batch = PolynomialBatch.from_values(trace_values, rate_bits, cap_height)
+    trace_batch = PolynomialBatch.from_values(trace_values, rate_bits,
+                                              cap_height, hasher)
     challenger = Challenger()
-    challenger.observe_cap(trace_batch.merkle_tree.cap)
+    challenger.observe_cap(trace_batch.merkle_tree.cap, hasher)
 
     # Permutation argument
     z_batch = None
@@ -454,8 +468,9 @@ def prove(stark, config: StarkConfig, trace_values, public_inputs):
         challenge_sets = get_permutation_challenge_sets(
             challenger, config.num_challenges, stark.permutation_batch_size())
         z_polys = compute_permutation_z_polys(stark, config, trace_values, challenge_sets)
-        z_batch = PolynomialBatch.from_values(z_polys, rate_bits, cap_height)
-        challenger.observe_cap(z_batch.merkle_tree.cap)
+        z_batch = PolynomialBatch.from_values(z_polys, rate_bits, cap_height,
+                                              hasher)
+        challenger.observe_cap(z_batch.merkle_tree.cap, hasher)
 
     alphas = challenger.get_n_challenges(config.num_challenges)
 
@@ -467,8 +482,8 @@ def prove(stark, config: StarkConfig, trace_values, public_inputs):
     for q in quotient_polys:
         for start in range(0, len(q), degree):
             chunks.append(q[start:start + degree])
-    quotient_batch = PolynomialBatch(chunks, rate_bits, cap_height)
-    challenger.observe_cap(quotient_batch.merkle_tree.cap)
+    quotient_batch = PolynomialBatch(chunks, rate_bits, cap_height, hasher)
+    challenger.observe_cap(quotient_batch.merkle_tree.cap, hasher)
 
     zeta = challenger.get_extension_challenge()
     g_sub = gl.primitive_root_of_unity(degree_bits)
@@ -488,7 +503,8 @@ def prove(stark, config: StarkConfig, trace_values, public_inputs):
 
     oracles = [trace_batch] + ([z_batch] if z_batch else []) + [quotient_batch]
     batches = fri_instance_batches(stark, config, zeta, g_sub)
-    opening_proof = fri_prove_openings(batches, oracles, challenger, fri_params)
+    opening_proof = fri_prove_openings(batches, oracles, challenger,
+                                       fri_params, hasher)
 
     proof = StarkProof(
         trace_cap=trace_batch.merkle_tree.cap,

@@ -36,19 +36,21 @@ def _check(cond, msg):
 # Challenge derivation (mirrors ChallengerChip::get_stark_challenges)
 # ----------------------------------------------------------------------------
 
-def get_stark_challenges(proof, stark, config):
+def get_stark_challenges(proof, stark, config, hasher=None):
+    from .hashers import GOLDILOCKS
+    hasher = hasher or GOLDILOCKS
     ch = Challenger()
-    ch.observe_cap(proof.trace_cap)
+    ch.observe_cap(proof.trace_cap, hasher)
 
     permutation_challenge_sets = None
     if proof.permutation_zs_cap is not None:
         permutation_challenge_sets = get_permutation_challenge_sets(
             ch, config.num_challenges, stark.permutation_batch_size())
-        ch.observe_cap(proof.permutation_zs_cap)
+        ch.observe_cap(proof.permutation_zs_cap, hasher)
 
     stark_alphas = ch.get_n_challenges(config.num_challenges)
 
-    ch.observe_cap(proof.quotient_polys_cap)
+    ch.observe_cap(proof.quotient_polys_cap, hasher)
     stark_zeta = ch.get_extension_challenge()
 
     for batch in proof.openings.to_fri_openings():
@@ -59,7 +61,7 @@ def get_stark_challenges(proof, stark, config):
     fri_alpha = ch.get_extension_challenge()
     fri_betas = []
     for cap in fri.commit_phase_merkle_caps:
-        ch.observe_cap(cap)
+        ch.observe_cap(cap, hasher)
         fri_betas.append(ch.get_extension_challenge())
     ch.observe_extension_elements(fri.final_poly)
     ch.observe_element(fri.pow_witness)
@@ -142,8 +144,10 @@ def _compute_evaluation(x, x_index_within_coset, arity_bits, evals, beta):
 
 
 def verify_fri_proof(instance_batches, openings_batches, challenges, initial_caps,
-                     fri_proof, fri_params):
+                     fri_proof, fri_params, hasher=None):
     """reference: verifier/src/fri/mod.rs:447-502"""
+    from .hashers import GOLDILOCKS
+    hasher = hasher or GOLDILOCKS
     _check(fri_params.final_poly_len == len(fri_proof.final_poly),
            "final polynomial has wrong degree")
     n = fri_params.lde_size
@@ -171,7 +175,8 @@ def verify_fri_proof(instance_batches, openings_batches, challenges, initial_cap
         # initial Merkle proofs, one per oracle
         for (evals, mproof), cap in zip(
                 round_proof.initial_trees_proof.evals_proofs, initial_caps):
-            _check(verify_merkle_proof_to_cap(evals, x_index, cap, mproof.siblings),
+            _check(verify_merkle_proof_to_cap(evals, x_index, cap,
+                                              mproof.siblings, hasher),
                    "initial tree Merkle proof failed")
 
         # subgroup_x = 7 * phi^rev(x_index)
@@ -196,7 +201,7 @@ def verify_fri_proof(instance_batches, openings_batches, challenges, initial_cap
             _check(verify_merkle_proof_to_cap(
                 leaf, coset_index,
                 fri_proof.commit_phase_merkle_caps[i],
-                round_proof.steps[i].merkle_proof.siblings),
+                round_proof.steps[i].merkle_proof.siblings, hasher),
                 "step Merkle proof failed")
             subgroup_x = gl.exp_power_of_2(subgroup_x, arity_bits)
             xi = coset_index
@@ -264,14 +269,14 @@ def check_quotient_consistency(stark, config, openings, public_inputs, challenge
 # Top-level verification (mirrors StarkChip::verify_proof)
 # ----------------------------------------------------------------------------
 
-def verify(stark, proof_with_pis, config, check_vanishing=True):
+def verify(stark, proof_with_pis, config, check_vanishing=True, hasher=None):
     """Returns None on success; raises VerificationError otherwise."""
     proof = proof_with_pis.proof
     public_inputs = proof_with_pis.public_inputs
     _check(len(public_inputs) == stark.PUBLIC_INPUTS, "bad public input count")
 
     degree_bits = proof.recover_degree_bits(config)
-    challenges = get_stark_challenges(proof, stark, config)
+    challenges = get_stark_challenges(proof, stark, config, hasher)
 
     # check_permutation_options (reference: stark/mod.rs:123-142)
     opts = [proof.permutation_zs_cap is not None,
@@ -300,4 +305,5 @@ def verify(stark, proof_with_pis, config, check_vanishing=True):
         caps,
         proof.opening_proof,
         config.fri_params(degree_bits),
+        hasher,
     )

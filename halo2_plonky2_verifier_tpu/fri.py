@@ -57,19 +57,14 @@ def bit_reverse_u32(idx, nbits):
     return out
 
 
-def _hash_leaf(evals_pair):
-    """hash_or_noop over the trailing axis (merkle leaf hashing)."""
-    return poseidon.hash_or_noop(evals_pair)
+def merged_merkle_verdict(H, nodes, indices, siblings, depths, caps, cap_index):
+    """Verify a stack of Merkle paths with one scan (hash backend H).
 
-
-def merged_merkle_verdict(nodes, indices, siblings, depths, caps, cap_index):
-    """Verify a stack of Merkle paths with one scan.
-
-    nodes:    (B, Q, S, 4) pair — leaf hashes per slot
+    nodes:    (B, Q, S[, hash]) — leaf hashes per slot
     indices:  (B, Q, S) u32 — leaf index within each slot's tree
-    siblings: (B, Q, S, Dmax, 4) pair — zero-padded sibling stacks
+    siblings: (B, Q, S, Dmax[, hash]) — zero-padded sibling stacks
     depths:   host tuple of per-slot depths
-    caps:     (B, S, cap, 4) pair — expected caps per slot
+    caps:     (B, S, cap[, hash]) — expected caps per slot
     cap_index:(B, Q) u32
     Returns (B, Q, S) bool.
     """
@@ -79,37 +74,30 @@ def merged_merkle_verdict(nodes, indices, siblings, depths, caps, cap_index):
         level_active = np.zeros((d_max, S), dtype=bool)
         for s, d in enumerate(depths):
             level_active[:d, s] = True
-        sib_hi = jnp.moveaxis(siblings[0], -2, 0)   # (Dmax, B, Q, S, 4)
-        sib_lo = jnp.moveaxis(siblings[1], -2, 0)
+        sib_scan = H.moveaxis(siblings, -2, 0)       # (Dmax, B, Q, S[, hash])
 
         def level(carry, x):
             (node, idx) = carry
-            sib, active = x                          # pair (B,Q,S,4), (S,)
-            bit = (idx & np.uint32(1)) == 1          # (B,Q,S) True => node is right child
-            bsel = bit[..., None]
-            left = gl.select(bsel, sib, node)
-            right = gl.select(bsel, node, sib)
-            new_node = poseidon.two_to_one(left, right)
-            act = active[None, None, :, None]
-            node = gl.select(act, new_node, node)
+            sib, active = x                          # (B,Q,S[,hash]), (S,)
+            bit = (idx & np.uint32(1)) == 1          # True => node is right child
+            left = H.select(bit, sib, node)
+            right = H.select(bit, node, sib)
+            new_node = H.two_to_one(left, right)
+            act = jnp.broadcast_to(active[None, None, :], bit.shape)
+            node = H.select(act, new_node, node)
             idx = jnp.where(active[None, None, :], idx >> np.uint32(1), idx)
             return (node, idx), None
 
         (nodes, indices), _ = jax.lax.scan(
-            level, (nodes, indices), ((sib_hi, sib_lo), jnp.asarray(level_active)))
+            level, (nodes, indices), (sib_scan, jnp.asarray(level_active)))
 
-    # expected roots: caps gathered at cap_index -> (B, Q, S, 4)
-    ci = cap_index[:, :, None, None, None]           # (B,Q,1,1,1)
-    def gather_cap(c):
-        # c: (B, S, cap, 4) -> broadcast gather over Q
-        cexp = jnp.broadcast_to(c[:, None], (c.shape[0], cap_index.shape[1]) + c.shape[1:])
-        return jnp.take_along_axis(cexp, ci, axis=3)[..., 0, :]
-    root = (gather_cap(caps[0]), gather_cap(caps[1]))
-    ok = gl.eq(root, nodes)                          # (B, Q, S, 4)
-    return ok.all(axis=-1)
+    root = H.take_cap(caps, cap_index)               # (B, Q, S[, hash])
+    return H.eq(root, nodes)
 
 
 def verify_fri(shape, batch, challenges, verdict):
+    from .hashing import get_hash_ops
+    H = get_hash_ops(shape.hasher)
     """FRI verification; returns updated (B,) verdict.
 
     challenges: dict with gl/gle lane values:
@@ -174,7 +162,7 @@ def verify_fri(shape, batch, challenges, verdict):
     # --- merged Merkle checks ----------------------------------------------
     nodes, idxs, sibs, depths, caps = [], [], [], [], []
     for oi, w in enumerate(S.oracle_widths):
-        nodes.append(_hash_leaf(batch.initial_evals[oi]))        # (B,Q,4)
+        nodes.append(H.leaf_hash(batch.initial_evals[oi]))       # (B,Q[,hash])
         idxs.append(x_index)
         sibs.append(batch.initial_siblings[oi])                  # (B,Q,D,4)
         depths.append(S.initial_depth)
@@ -193,27 +181,20 @@ def verify_fri(shape, batch, challenges, verdict):
         ev = batch.step_evals[si]                                # (B,Q,arity,2) pair
         flat = (ev[0].reshape(ev[0].shape[:2] + (-1,)),
                 ev[1].reshape(ev[1].shape[:2] + (-1,)))          # (B,Q,2*arity)
-        nodes.append(poseidon.hash_no_pad(flat))
+        nodes.append(H.leaf_hash(flat))
         idxs.append(coset_idx)
         sibs.append(batch.step_siblings[si])
         depths.append(S.step_depths[si])
         caps.append(batch.commit_caps[si])
 
     d_max = max(depths)
-    def pad_sib(s, d):
-        if d == d_max:
-            return s
-        pad = [(0, 0)] * 2 + [(0, d_max - d), (0, 0)]
-        return (jnp.pad(s[0], pad), jnp.pad(s[1], pad))
-    sibs = [pad_sib(s, d) for s, d in zip(sibs, depths)]
-    nodes_st = (jnp.stack([n[0] for n in nodes], axis=2),
-                jnp.stack([n[1] for n in nodes], axis=2))        # (B,Q,S,4)
+    sibs = [s if d == d_max else H.pad_level_axis(s, 1, d_max - d)
+            for s, d in zip(sibs, depths)]
+    nodes_st = H.stack(nodes, 2)                                 # (B,Q,S[,hash])
     idx_st = jnp.stack(idxs, axis=-1)                            # (B,Q,S)
-    sib_st = (jnp.stack([s[0] for s in sibs], axis=2),
-              jnp.stack([s[1] for s in sibs], axis=2))           # (B,Q,S,Dmax,4)
-    caps_st = (jnp.stack([c[0] for c in caps], axis=1),
-               jnp.stack([c[1] for c in caps], axis=1))          # (B,S,cap,4)
-    mk_ok = merged_merkle_verdict(nodes_st, idx_st, sib_st, tuple(depths),
+    sib_st = H.stack(sibs, 2)                                    # (B,Q,S,Dmax[,hash])
+    caps_st = H.stack(caps, 1)                                   # (B,S,cap[,hash])
+    mk_ok = merged_merkle_verdict(H, nodes_st, idx_st, sib_st, tuple(depths),
                                   caps_st, cap_index)            # (B,Q,S)
     verdict = verdict & mk_ok.all(axis=(1, 2))
 

@@ -124,8 +124,16 @@ def fri_instance_polys(shape):
     return trace + zs + quot, trace + zs
 
 
-def build_verifier(stark, config, degree_bits, check_vanishing=True):
-    shape = proof_shape(stark, config, degree_bits)
+def build_verifier(stark, config, degree_bits, check_vanishing=True,
+                   hasher="poseidon_goldilocks"):
+    """Returns verify(batch) -> (B,) bool.  `hasher` selects the Merkle /
+    commitment hash backend ("poseidon_goldilocks" or "poseidon_bn254", the
+    reference's two configurations; the transcript sponge is always
+    Poseidon-Goldilocks, stark/mod.rs:493-499)."""
+    from .hashing import get_hash_ops
+
+    shape = proof_shape(stark, config, degree_bits, hasher)
+    H = get_hash_ops(hasher)
 
     def verify(batch: ProofBatch):
         S = batch.shape
@@ -144,7 +152,15 @@ def build_verifier(stark, config, degree_bits, check_vanishing=True):
             sched.observe(flat[0].shape[1])
             parts.append(flat)
 
-        observe(batch.trace_cap)
+        def observe_cap(cap):
+            """Hash-typed cap -> Goldilocks element stream (observe_cap,
+            challenger/mod.rs:65-74: per hash, its to_goldilocks_vec)."""
+            els = H.to_gl_elements(cap)            # k pairs of (B, cap_size)
+            hi = jnp.stack([e[0] for e in els], axis=-1)
+            lo = jnp.stack([e[1] for e in els], axis=-1)
+            observe((hi, lo))
+
+        observe_cap(batch.trace_cap)
 
         perm_refs = None
         if S.uses_permutation:
@@ -153,11 +169,11 @@ def build_verifier(stark, config, degree_bits, check_vanishing=True):
                  for _ in range(S.num_challenges)]
                 for _ in range(S.num_challenge_sets)
             ]
-            observe(batch.zs_cap)
+            observe_cap(batch.zs_cap)
 
         alpha_refs = sched.get_n_challenges(S.num_challenges)
 
-        observe(batch.quotient_cap)
+        observe_cap(batch.quotient_cap)
         zeta_ref = sched.get_extension_challenge()
 
         # openings in to_fri_openings order (stark/mod.rs:48-70)
@@ -172,7 +188,7 @@ def build_verifier(stark, config, degree_bits, check_vanishing=True):
         fri_alpha_ref = sched.get_extension_challenge()
         beta_refs = []
         for cap in batch.commit_caps:
-            observe(cap)
+            observe_cap(cap)
             beta_refs.append(sched.get_extension_challenge())
         observe(batch.final_poly)
         observe((batch.pow_witness[0][:, None], batch.pow_witness[1][:, None]))

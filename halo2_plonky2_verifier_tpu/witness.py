@@ -36,6 +36,7 @@ class ProofShape:
     num_challenge_sets: int     # permutation challenge sets drawn (batch size)
     proof_of_work_bits: int
     degree_bits: int
+    hasher: str = "poseidon_goldilocks"
 
     @property
     def uses_permutation(self):
@@ -59,7 +60,8 @@ class ProofShape:
         return tuple(w)
 
 
-def proof_shape(stark, config, degree_bits) -> ProofShape:
+def proof_shape(stark, config, degree_bits,
+                hasher="poseidon_goldilocks") -> ProofShape:
     fri_params = config.fri_params(degree_bits)
     return ProofShape(
         num_columns=stark.COLUMNS,
@@ -76,6 +78,7 @@ def proof_shape(stark, config, degree_bits) -> ProofShape:
         num_challenge_sets=stark.permutation_batch_size() if stark.uses_permutation_args() else 0,
         proof_of_work_bits=config.fri_config.proof_of_work_bits,
         degree_bits=degree_bits,
+        hasher=hasher,
     )
 
 
@@ -123,9 +126,17 @@ def load_proofs(proofs, shape: ProofShape) -> ProofBatch:
     """proofs: list of refimpl.proof.StarkProofWithPublicInputs (same shape)."""
     B = len(proofs)
     S = shape
+    bn254 = S.hasher == "poseidon_bn254"
+
+    def hashes(nested):
+        """Hash-typed data -> device arrays: GL (..., 4) u64, BN254 (..., 16)."""
+        if bn254:
+            from .ops import bn254 as fr
+            return fr.from_ints(nested)
+        return gl.from_u64(_u64(nested))
 
     def cap(get):
-        return _u64([get(p) for p in proofs])          # (B, cap, 4)
+        return hashes([get(p) for p in proofs])        # (B, cap[, 4])
 
     def exts(get):
         return _u64([get(p) for p in proofs])          # (B, n, 2)
@@ -142,7 +153,7 @@ def load_proofs(proofs, shape: ProofShape) -> ProofBatch:
         if o.permutation_zs_next is not None else None
     quotient_polys = exts(lambda p: p.proof.openings.quotient_polys)
     commit_caps = [
-        _u64([p.proof.opening_proof.commit_phase_merkle_caps[i] for p in proofs])
+        hashes([p.proof.opening_proof.commit_phase_merkle_caps[i] for p in proofs])
         for i in range(len(S.reduction_arity_bits))
     ]
     final_poly = _u64([p.proof.opening_proof.final_poly for p in proofs])
@@ -155,19 +166,29 @@ def load_proofs(proofs, shape: ProofShape) -> ProofBatch:
             [qr.initial_trees_proof.evals_proofs[oi][0]
              for qr in p.proof.opening_proof.query_round_proofs]
             for p in proofs]))                          # (B, Q, w)
-        initial_siblings.append(_u64([
+        sib_nested = [
             [qr.initial_trees_proof.evals_proofs[oi][1].siblings
              for qr in p.proof.opening_proof.query_round_proofs]
-            for p in proofs]).reshape(B, S.num_queries, S.initial_depth, 4))
+            for p in proofs]
+        if bn254:
+            initial_siblings.append(hashes(sib_nested))
+        else:
+            initial_siblings.append(gl.from_u64(_u64(sib_nested).reshape(
+                B, S.num_queries, S.initial_depth, 4)))
     step_evals, step_siblings = [], []
     for si, ab in enumerate(S.reduction_arity_bits):
         step_evals.append(_u64([
             [qr.steps[si].evals for qr in p.proof.opening_proof.query_round_proofs]
             for p in proofs]))                          # (B, Q, arity, 2)
-        step_siblings.append(_u64([
+        ssib_nested = [
             [qr.steps[si].merkle_proof.siblings
              for qr in p.proof.opening_proof.query_round_proofs]
-            for p in proofs]).reshape(B, S.num_queries, S.step_depths[si], 4))
+            for p in proofs]
+        if bn254:
+            step_siblings.append(hashes(ssib_nested))
+        else:
+            step_siblings.append(gl.from_u64(_u64(ssib_nested).reshape(
+                B, S.num_queries, S.step_depths[si], 4)))
     public_inputs = _u64([p.public_inputs for p in proofs])
 
     def dev(x):
@@ -175,42 +196,57 @@ def load_proofs(proofs, shape: ProofShape) -> ProofBatch:
 
     return ProofBatch(
         shape=S,
-        trace_cap=dev(trace_cap), zs_cap=dev(zs_cap), quotient_cap=dev(quotient_cap),
+        trace_cap=trace_cap, zs_cap=zs_cap, quotient_cap=quotient_cap,
         local_values=dev(local_values), next_values=dev(next_values),
         permutation_zs=dev(permutation_zs), permutation_zs_next=dev(permutation_zs_next),
         quotient_polys=dev(quotient_polys),
-        commit_caps=[dev(c) for c in commit_caps],
+        commit_caps=commit_caps,
         final_poly=dev(final_poly), pow_witness=dev(pow_witness),
         initial_evals=[dev(e) for e in initial_evals],
-        initial_siblings=[dev(s) for s in initial_siblings],
+        initial_siblings=initial_siblings,
         step_evals=[dev(e) for e in step_evals],
-        step_siblings=[dev(s) for s in step_siblings],
+        step_siblings=step_siblings,
         public_inputs=dev(public_inputs),
     )
 
 
-def all_arrays(batch: ProofBatch):
-    """Yield every Goldilocks pair in the batch (for canonicality checks)."""
-    for f in (batch.trace_cap, batch.zs_cap, batch.quotient_cap,
-              batch.local_values, batch.next_values, batch.permutation_zs,
+def scalar_arrays(batch: ProofBatch):
+    """Every Goldilocks-scalar pair in the batch."""
+    for f in (batch.local_values, batch.next_values, batch.permutation_zs,
               batch.permutation_zs_next, batch.quotient_polys,
               batch.final_poly, batch.pow_witness, batch.public_inputs):
         if f is not None:
             yield f
-    for group in (batch.commit_caps, batch.initial_evals, batch.initial_siblings,
-                  batch.step_evals, batch.step_siblings):
+    for group in (batch.initial_evals, batch.step_evals):
+        for f in group:
+            yield f
+
+
+def hash_arrays(batch: ProofBatch):
+    """Every hash-typed array (caps, siblings)."""
+    for f in (batch.trace_cap, batch.zs_cap, batch.quotient_cap):
+        if f is not None:
+            yield f
+    for group in (batch.commit_caps, batch.initial_siblings, batch.step_siblings):
         for f in group:
             yield f
 
 
 def canonicality_verdict(batch: ProofBatch):
-    """AND over all loaded values being < p, reduced to (B,) bool
-    (the executor form of WitnessChip's per-value range checks)."""
+    """AND over all loaded values being canonical (< field modulus), reduced
+    to (B,) bool (the executor form of WitnessChip's per-value range checks)."""
     import jax.numpy as jnp
+
+    from .hashing import get_hash_ops
+
+    H = get_hash_ops(batch.shape.hasher)
     B = batch.batch_size
     verdict = jnp.ones((B,), dtype=bool)
-    for pair in all_arrays(batch):
+    for pair in scalar_arrays(batch):
         ok = gl.is_canonical(pair)
+        verdict = verdict & ok.reshape(B, -1).all(axis=-1)
+    for h in hash_arrays(batch):
+        ok = H.canonical_ok(h)
         verdict = verdict & ok.reshape(B, -1).all(axis=-1)
     return verdict
 

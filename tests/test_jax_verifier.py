@@ -94,3 +94,21 @@ def test_challenges_match_refimpl():
     assert got_beta0 == want_beta0
     got_alpha0 = int(gl_ops.to_u64(extract(ys, alphas[0])))
     assert got_alpha0 == ref["stark_alphas"][0]
+
+
+def test_bn254_config_verify():
+    """JAX verifier with the BN254 Merkle backend (the executor analog of
+    test_fibonacci_stark_bn254, stark/mod.rs:462-518)."""
+    from halo2_plonky2_verifier_tpu.refimpl import hashers
+
+    stark, config, pwp = get_fibonacci_proof(1 << 3, hasher=hashers.BN254)
+    degree_bits = pwp.proof.recover_degree_bits(config)
+    shape = proof_shape(stark, config, degree_bits, hasher="poseidon_bn254")
+    proofs = [copy.deepcopy(pwp) for _ in range(3)]
+    proofs[1].proof.trace_cap[2] ^= 1                      # corrupt a cap Fr
+    proofs[2].proof.opening_proof.pow_witness ^= 1
+    batch = load_proofs(proofs, shape)
+    verify = smart_jit(build_verifier(stark, config, degree_bits,
+                                      hasher="poseidon_bn254"))
+    verdict = np.asarray(verify(batch))
+    assert list(verdict) == [True, False, False], verdict

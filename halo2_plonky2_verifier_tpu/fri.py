@@ -88,8 +88,10 @@ def merged_merkle_verdict(H, nodes, indices, siblings, depths, caps, cap_index):
             idx = jnp.where(active[None, None, :], idx >> np.uint32(1), idx)
             return (node, idx), None
 
-        (nodes, indices), _ = jax.lax.scan(
-            level, (nodes, indices), (sib_scan, jnp.asarray(level_active)))
+        from .utils import profiling
+        with profiling.multiplier(d_max), profiling.scope("two_to_one"):
+            (nodes, indices), _ = jax.lax.scan(
+                level, (nodes, indices), (sib_scan, jnp.asarray(level_active)))
 
     root = H.take_cap(caps, cap_index)               # (B, Q, S[, hash])
     return H.eq(root, nodes)
@@ -97,6 +99,8 @@ def merged_merkle_verdict(H, nodes, indices, siblings, depths, caps, cap_index):
 
 def verify_fri(shape, batch, challenges, verdict):
     from .hashing import get_hash_ops
+    from .utils import profiling
+    from .utils.profiling import scope
     H = get_hash_ops(shape.hasher)
     """FRI verification; returns updated (B,) verdict.
 
@@ -122,10 +126,11 @@ def verify_fri(shape, batch, challenges, verdict):
     cap_index = x_index >> np.uint32(S.initial_depth)                # top bits
 
     # --- subgroup_x = 7 * phi^bitrev(x_index) ------------------------------
-    phi_pows = _pow_root_consts(n_log)
-    rev = bit_reverse_u32(x_index, n_log)
-    phi_pow = exp_from_bits_const_base(rev, phi_pows, n_log, (B, Q))
-    subgroup_x = gl.mul(gl.full((B, Q), gl_int.GENERATOR), phi_pow)
+    with scope("subgroup_x"):
+        phi_pows = _pow_root_consts(n_log)
+        rev = bit_reverse_u32(x_index, n_log)
+        phi_pow = exp_from_bits_const_base(rev, phi_pows, n_log, (B, Q))
+        subgroup_x = gl.mul(gl.full((B, Q), gl_int.GENERATOR), phi_pow)
 
     # --- reduced openings (PrecomputedReducedOpenings, fri/mod.rs:41-62) ---
     alpha = challenges["fri_alpha"]
@@ -135,6 +140,8 @@ def verify_fri(shape, batch, challenges, verdict):
     ]
 
     # --- combine_initial (fri/mod.rs:170-220) ------------------------------
+    _combine_scope = scope("combine_initial")
+    _combine_scope.__enter__()
     alpha_bq = _bcast_ext(alpha, (B, Q))
     sx_ext = gle.from_base(subgroup_x)
     # all batch denominators inverted with one Fermat chain
@@ -158,8 +165,11 @@ def verify_fri(shape, batch, challenges, verdict):
         total = gle.mul(alpha_shift, total)
         total = gle.add(gle.mul(numerator, denom_inv), total)
     old_eval = total
+    _combine_scope.__exit__(None, None, None)
 
     # --- merged Merkle checks ----------------------------------------------
+    _mk_scope = scope("verify_merkle_proofs")
+    _mk_scope.__enter__()
     nodes, idxs, sibs, depths, caps = [], [], [], [], []
     for oi, w in enumerate(S.oracle_widths):
         nodes.append(H.leaf_hash(batch.initial_evals[oi]))       # (B,Q[,hash])
@@ -197,6 +207,7 @@ def verify_fri(shape, batch, challenges, verdict):
     mk_ok = merged_merkle_verdict(H, nodes_st, idx_st, sib_st, tuple(depths),
                                   caps_st, cap_index)            # (B,Q,S)
     verdict = verdict & mk_ok.all(axis=(1, 2))
+    _mk_scope.__exit__(None, None, None)
 
     # --- reduction steps (fri/mod.rs:403-438) ------------------------------
     idx_cur = x_index
@@ -213,8 +224,9 @@ def verify_fri(shape, batch, challenges, verdict):
                     (picked[0][..., 1], picked[1][..., 1]))      # ext (B,Q)
         verdict = verdict & gle.eq(new_eval, old_eval).all(axis=1)
 
-        old_eval = _compute_evaluation(
-            S, subgroup_x, within, ab, ev, challenges["fri_betas"][si], (B, Q))
+        with scope("compute_evaluation"):
+            old_eval = _compute_evaluation(
+                S, subgroup_x, within, ab, ev, challenges["fri_betas"][si], (B, Q))
         subgroup_x = _square_n_gl(subgroup_x, ab)
         idx_cur = idx_cur >> np.uint32(ab)
 
@@ -236,7 +248,8 @@ def verify_fri(shape, batch, challenges, verdict):
         return acc, None
 
     acc0 = gle.zeros_like(sx_ext)
-    acc, _ = jax.lax.scan(horner_step, acc0, xs)
+    with scope("final_poly_eval"), profiling.multiplier(S.final_poly_len):
+        acc, _ = jax.lax.scan(horner_step, acc0, xs)
     verdict = verdict & gle.eq(acc, old_eval).all(axis=1)
     return verdict
 
@@ -306,9 +319,11 @@ def _compute_evaluation(S, x, within, arity_bits, evals, beta, bq_shape):
 
     zero = gle.zeros_like(shifted)
     one = (gl.full(bq_shape, 1), gl.zeros(bq_shape))
-    (ev_out, _), _ = jax.lax.scan(
-        body, (zero, one),
-        (wv_hi0, wv_lo0, wv_hi1, wv_lo1, jnp.asarray(dom_hi), jnp.asarray(dom_lo)))
+    from .utils import profiling
+    with profiling.multiplier(arity):
+        (ev_out, _), _ = jax.lax.scan(
+            body, (zero, one),
+            (wv_hi0, wv_lo0, wv_hi1, wv_lo1, jnp.asarray(dom_hi), jnp.asarray(dom_lo)))
     return ev_out
 
 

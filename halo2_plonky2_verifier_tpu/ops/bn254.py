@@ -172,8 +172,18 @@ def sub_mod(a, b):
     return _stack(_cond_sub_p(limbs))
 
 
+def _nelems(a):
+    n = 1
+    for d in a.shape[:-1]:
+        n *= d
+    return n
+
+
 def mont_mul(a, b):
     """a * b * R^-1 mod p (canonical) for canonical/Montgomery inputs."""
+    from ..utils import profiling
+    if profiling.active():
+        profiling.record("bn254_mont_mul", max(_nelems(a), _nelems(b)))
     la, lb = _unstack(a), _unstack(b)
     t, _ = _carry_propagate(_schoolbook_cols(la, lb, 2 * N_LIMBS))
     return _redc(t)

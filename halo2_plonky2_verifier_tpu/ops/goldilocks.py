@@ -104,6 +104,9 @@ def _canonicalize(a):
 # ----------------------------------------------------------------------------
 
 def add(a, b):
+    from ..utils import profiling
+    if profiling.active():
+        profiling.record("gl_add", max(_nelems(a), _nelems(b)))
     s, carry = _add64(a, b)
     # carry means + 2^64 = + (2^32 - 1) mod p; cannot re-carry since
     # a + b < 2p < 2^65 implies the wrapped value is < 2^64 - 2^33.
@@ -158,8 +161,18 @@ def reduce128(x_hi, x_lo):
     return _canonicalize(s)
 
 
+def _nelems(a):
+    n = 1
+    for d in a[0].shape:
+        n *= d
+    return n
+
+
 def mul(a, b):
     """Full modular multiply via 16-bit limb schoolbook + reduce128."""
+    from ..utils import profiling
+    if profiling.active():
+        profiling.record("gl_mul", max(_nelems(a), _nelems(b)))
     al = to_limbs(a)
     bl = to_limbs(b)
     cols = [jnp.zeros_like(a[0]) for _ in range(8)]
@@ -266,11 +279,17 @@ def _square_n(a, n):
     """a^(2^n) with a fori_loop (bounded graph: one mul body)."""
     import jax
 
+    from ..utils import profiling
+
     if n <= 2:
         for _ in range(n):
             a = square(a)
         return a
-    return jax.lax.fori_loop(0, n, lambda _, x: square(x), a)
+    with profiling.multiplier(n):
+        body = square(a)  # trace once under the multiplier for the census
+    del body
+    with profiling.suspend():
+        return jax.lax.fori_loop(0, n, lambda _, x: square(x), a)
 
 
 def _exp_2k_minus_1(a, k, cache):

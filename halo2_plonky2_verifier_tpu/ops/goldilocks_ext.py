@@ -130,6 +130,8 @@ def reduce_with_powers(terms, alpha):
     import jax
     import jax.numpy as jnp
 
+    from ..utils import profiling
+
     # stack leaves: terms reversed for Horner, axis 0 = term index
     stacked = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs, axis=0), *reversed(terms))
@@ -137,7 +139,8 @@ def reduce_with_powers(terms, alpha):
     def body(acc, t):
         return add(mul(acc, alpha), t), None
 
-    acc, _ = jax.lax.scan(body, zeros_like(terms[0]), stacked)
+    with profiling.multiplier(len(terms)):
+        acc, _ = jax.lax.scan(body, zeros_like(terms[0]), stacked)
     return acc
 
 

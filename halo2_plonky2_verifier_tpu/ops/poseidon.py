@@ -155,13 +155,22 @@ def permute(state):
 
 
 def _permute_jnp(state):
+    from ..utils import profiling
+
+    if profiling.active():
+        n = 1
+        for d in state[0].shape[:-1]:
+            n *= d
+        profiling.record("poseidon_permute", n)
+
     def scan_rounds(body, state, lo_r, hi_r):
         rc = (jnp.asarray(_RC_HI[lo_r:hi_r]), jnp.asarray(_RC_LO[lo_r:hi_r]))
 
         def step(carry, x):
             return body(carry, x), None
 
-        state, _ = jax.lax.scan(step, state, rc)
+        with profiling.multiplier(hi_r - lo_r):
+            state, _ = jax.lax.scan(step, state, rc)
         return state
 
     r0 = HALF_N_FULL_ROUNDS
@@ -207,7 +216,9 @@ def absorb(state, inputs):
             st = _overwrite_prefix(st, chunk)
             return permute(st), None
 
-        state, _ = jax.lax.scan(step, state, (chunks_hi, chunks_lo))
+        from ..utils import profiling
+        with profiling.multiplier(n_full):
+            state, _ = jax.lax.scan(step, state, (chunks_hi, chunks_lo))
     elif n_full == 1:
         state = permute(_overwrite_prefix(
             state, (inputs[0][..., :SPONGE_RATE], inputs[1][..., :SPONGE_RATE])))

@@ -85,6 +85,13 @@ def _round_body(state, rc, m_mont, full):
 
 def permute_mont(state):
     """(..., 4, 16) Montgomery-form state -> permuted Montgomery state."""
+    from ..utils import profiling
+
+    if profiling.active():
+        n = 1
+        for d in state.shape[:-2]:
+            n *= d
+        profiling.record("poseidon_bn254_permute", n)
     c_mont, m_mont = _get_tables()
     mm = jnp.asarray(m_mont)
 
@@ -94,7 +101,8 @@ def permute_mont(state):
         def step(st, x):
             return _round_body(st, x, mm, full), None
 
-        state, _ = jax.lax.scan(step, state, rc)
+        with profiling.multiplier(hi - lo):
+            state, _ = jax.lax.scan(step, state, rc)
         return state
 
     state = scan_rounds(state, 0, _HALF, True)

@@ -135,15 +135,20 @@ def build_verifier(stark, config, degree_bits, check_vanishing=True,
     shape = proof_shape(stark, config, degree_bits, hasher)
     H = get_hash_ops(hasher)
 
+    from .utils.profiling import scope
+
     def verify(batch: ProofBatch):
         S = batch.shape
         B = batch.batch_size
-        verdict = canonicality_verdict(batch)
+        with scope("load_witness"):
+            verdict = canonicality_verdict(batch)
 
         # ------------------------------------------------------------------
         # 1. Transcript: build the static schedule while concatenating the
         #    observed element stream (order = challenger/mod.rs:168-222).
         # ------------------------------------------------------------------
+        _tr_scope = scope("get_stark_challenges")
+        _tr_scope.__enter__()
         sched = TranscriptSchedule()
         parts = []
 
@@ -222,6 +227,7 @@ def build_verifier(stark, config, degree_bits, check_vanishing=True,
                 [(extract(ys, b), extract(ys, g)) for (b, g) in cset]
                 for cset in perm_refs
             ]
+        _tr_scope.__exit__(None, None, None)
 
         # ------------------------------------------------------------------
         # 3. Vanishing polynomial / quotient consistency at zeta
@@ -230,6 +236,7 @@ def build_verifier(stark, config, degree_bits, check_vanishing=True,
         g_sub = gl_int.primitive_root_of_unity(S.degree_bits)
         n = 1 << S.degree_bits
         if check_vanishing:
+          with scope("vanishing_poly_check"):
             F = ExtOpsJax((B,))
             one = F.one()
             zeta_pow_n = gle.exp_power_of_2(zeta, S.degree_bits)

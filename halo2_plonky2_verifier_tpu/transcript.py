@@ -116,7 +116,9 @@ def run_schedule(schedule, elements):
         state = poseidon.permute(state)
         return state, (state[0][..., :SPONGE_RATE], state[1][..., :SPONGE_RATE])
 
-    _, ys = jax.lax.scan(step_fn, state, (ch_hi, ch_lo, m))
+    from .utils import profiling
+    with profiling.multiplier(n_steps):
+        _, ys = jax.lax.scan(step_fn, state, (ch_hi, ch_lo, m))
     return ys
 
 

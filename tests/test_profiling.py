@@ -1,0 +1,42 @@
+"""Profiling subsystem (the reference's ContextTree / #[count] analog)."""
+
+import os
+
+from halo2_plonky2_verifier_tpu import build_verifier, load_proofs, proof_shape
+from halo2_plonky2_verifier_tpu.refimpl.fixtures import get_fibonacci_proof
+from halo2_plonky2_verifier_tpu.utils import profiling
+
+
+def test_profile_verifier_census(tmp_path):
+    stark, config, pwp = get_fibonacci_proof(32)
+    degree_bits = pwp.proof.recover_degree_bits(config)
+    shape = proof_shape(stark, config, degree_bits)
+    batch = load_proofs([pwp], shape)
+    verify = build_verifier(stark, config, degree_bits)
+
+    tree = profiling.profile_verifier(verify, batch)
+
+    total = tree.root.total("gl_mul")
+    assert total > 100_000  # the flagship workload is ~289k muls/proof
+    # Merkle hashing dominates, mirroring the reference's profile
+    mk = tree.root.children["verify_merkle_proofs"].total("gl_mul")
+    assert mk / total > 0.5
+    assert tree.root.total("poseidon_permute") == 551  # 84*3*2 + transcript
+
+    report = tree.report("gl_mul")
+    assert "verify_merkle_proofs" in report and "%" in report
+
+    folded = tmp_path / "p.folded"
+    svg = tmp_path / "p.svg"
+    tree.write_collapsed(str(folded))
+    tree.write_flamegraph_svg(str(svg), title="test")
+    assert "two_to_one" in folded.read_text()
+    assert svg.read_text().startswith("<svg")
+
+
+def test_profile_inactive_is_free():
+    # without an active profile, scopes are plain named_scopes and record is a no-op
+    assert not profiling.active()
+    profiling.record("gl_mul", 123)  # no crash, no effect
+    with profiling.scope("x"):
+        pass

@@ -55,7 +55,17 @@ def ifft(values):
     return out
 
 
+def _native():
+    from . import native_backend as nb
+    return nb if nb.available() else None
+
+
 def coset_fft(coeffs, shift):
+    nb = _native()
+    if nb is not None and len(coeffs) > 8:
+        import numpy as np
+        return [int(x) for x in nb.coset_fft(
+            np.array(coeffs, dtype=np.uint64), shift % gl.P)]
     p = gl.P
     shifted = []
     s = 1
@@ -66,6 +76,11 @@ def coset_fft(coeffs, shift):
 
 
 def coset_ifft(values, shift):
+    nb = _native()
+    if nb is not None and len(values) > 8:
+        import numpy as np
+        return [int(x) for x in nb.coset_ifft(
+            np.array(values, dtype=np.uint64), shift % gl.P)]
     p = gl.P
     coeffs = ifft(values)
     s_inv = gl.inv(shift)

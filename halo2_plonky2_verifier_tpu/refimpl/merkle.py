@@ -23,16 +23,34 @@ class MerkleTree:
         self.leaves = leaves
         self.cap_height = cap_height
         self.hasher = hasher
-        # levels[0] = leaf hashes; levels[k] = nodes at height k above leaves.
-        levels = [[hasher.hash_or_noop(leaf) for leaf in leaves]]
-        while len(levels[-1]) > (1 << cap_height):
-            prev = levels[-1]
-            levels.append(
-                [hasher.two_to_one(prev[2 * i], prev[2 * i + 1])
-                 for i in range(len(prev) // 2)]
-            )
+        levels = self._native_levels(leaves, cap_height, hasher)
+        if levels is None:
+            # levels[0] = leaf hashes; levels[k] = nodes k above the leaves.
+            levels = [[hasher.hash_or_noop(leaf) for leaf in leaves]]
+            while len(levels[-1]) > (1 << cap_height):
+                prev = levels[-1]
+                levels.append(
+                    [hasher.two_to_one(prev[2 * i], prev[2 * i + 1])
+                     for i in range(len(prev) // 2)]
+                )
         self.levels = levels
         self.cap = levels[-1]
+
+    @staticmethod
+    def _native_levels(leaves, cap_height, hasher):
+        """C++ fast path for the Goldilocks hasher with uniform-width leaves."""
+        if hasher.name != "poseidon_goldilocks" or not leaves:
+            return None
+        width = len(leaves[0])
+        if any(len(l) != width for l in leaves):
+            return None
+        from . import native_backend as nb
+        if not nb.available():
+            return None
+        import numpy as np
+        arr = np.array(leaves, dtype=np.uint64)
+        return [[[int(x) for x in h] for h in lv]
+                for lv in nb.merkle_levels(arr, cap_height)]
 
     def prove(self, index):
         """Sibling hashes from leaf level up to the cap level (exclusive)."""

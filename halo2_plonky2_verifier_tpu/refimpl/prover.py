@@ -390,6 +390,15 @@ def _grind_proof_of_work(challenger, pow_bits, batch=8192):
     tail = pending[n_full:]
     r = len(tail)
 
+    from . import native_backend as nb
+    if nb.available():
+        w = nb.pow_grind(np.array(state, dtype=np.uint64),
+                         np.array(tail, dtype=np.uint64), pow_bits)
+        check = _clone_challenger(challenger)
+        check.observe_element(w)
+        assert check.get_challenge() < threshold
+        return w
+
     base = np.zeros((batch, SPONGE_WIDTH), dtype=np.uint64)
     base[:] = np.array(state, dtype=np.uint64)
     base[:, :r] = np.array(tail, dtype=np.uint64)

@@ -34,7 +34,6 @@ def main():
         pass
 
     from halo2_plonky2_verifier_tpu import build_verifier, load_proofs, proof_shape
-    from halo2_plonky2_verifier_tpu.refimpl.fixtures import get_fibonacci_proof
     from halo2_plonky2_verifier_tpu.utils.compile import smart_jit
 
     num_rows = int(os.environ.get("BENCH_NUM_ROWS", "32"))
@@ -44,10 +43,12 @@ def main():
     sub_batches = int(os.environ.get("BENCH_SUBBATCHES", "1"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
 
-    stark, config, pwp = get_fibonacci_proof(num_rows)
-    degree_bits = pwp.proof.recover_degree_bits(config)
+    distinct = min(int(os.environ.get("BENCH_DISTINCT", "32")), batch_size)
+    from halo2_plonky2_verifier_tpu.refimpl.fixtures import get_fibonacci_proof_batch
+    stark, config, base_proofs = get_fibonacci_proof_batch(num_rows, distinct)
+    degree_bits = base_proofs[0].proof.recover_degree_bits(config)
     shape = proof_shape(stark, config, degree_bits)
-    proofs = [copy.deepcopy(pwp) for _ in range(batch_size)]
+    proofs = [base_proofs[i % distinct] for i in range(batch_size)]
     batch = load_proofs(proofs, shape)
 
     verify_one = build_verifier(stark, config, degree_bits)

@@ -39,3 +39,36 @@ def get_fibonacci_proof(num_rows, config=None, cache_dir=None, hasher=None):
     with open(path, "w") as f:
         f.write(proof_to_json(pwp))
     return stark, config, pwp
+
+
+def get_fibonacci_proof_batch(num_rows, count, config=None, cache_dir=None,
+                              hasher=None):
+    """`count` DISTINCT proofs (varying x0/x1 public inputs), cached as one
+    JSON-lines file.  Used by the benchmark so batched verification measures
+    genuinely different proofs."""
+    import json
+
+    config = config or StarkConfig.standard_fast_config()
+    cache_dir = cache_dir or FIXTURE_DIR
+    stark = FibonacciStark(num_rows)
+    suffix = "" if hasher is None or hasher.name == "poseidon_goldilocks" \
+        else f"_{hasher.name}"
+    path = os.path.join(cache_dir, f"fib_stark_n{num_rows}{suffix}_x{count}.jsonl")
+    if os.path.exists(path):
+        with open(path) as f:
+            proofs = [proof_from_json(line) for line in f if line.strip()]
+        if len(proofs) >= count:
+            return stark, config, proofs[:count]
+    from . import prover
+    proofs = []
+    for k in range(count):
+        x0, x1 = 2 * k + 1, 3 * k + 2
+        pis = [x0 % gl.P, x1 % gl.P,
+               fibonacci(num_rows - 1, x0, x1, gl.P)]
+        trace = stark.generate_trace(pis[0], pis[1], gl.P)
+        proofs.append(prover.prove(stark, config, trace, pis, hasher))
+    os.makedirs(cache_dir, exist_ok=True)
+    with open(path, "w") as f:
+        for pwp in proofs:
+            f.write(proof_to_json(pwp) + "\n")
+    return stark, config, proofs

@@ -229,3 +229,17 @@ def profile_verifier(verify_fn, batch):
     with profile() as tree:
         jax.eval_shape(verify_fn, batch)
     return tree
+
+
+def count(fn):
+    """Decorator form of `scope` — the analog of the reference's #[count]
+    proc-macro (macro/src/lib.rs:10-61): wraps the function body in a
+    profiling scope named after the function."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with scope(fn.__name__):
+            return fn(*args, **kwargs)
+
+    return wrapped

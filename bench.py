@@ -37,11 +37,11 @@ def main():
     from halo2_plonky2_verifier_tpu.utils.compile import smart_jit
 
     num_rows = int(os.environ.get("BENCH_NUM_ROWS", "32"))
-    batch_size = int(os.environ.get("BENCH_BATCH", "256"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "1024"))
     # sub-batches scanned inside one jit call: amortizes dispatch overhead
     # while keeping the per-step working set cache-friendly
     sub_batches = int(os.environ.get("BENCH_SUBBATCHES", "1"))
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    iters = int(os.environ.get("BENCH_ITERS", "15"))
 
     distinct = min(int(os.environ.get("BENCH_DISTINCT", "32")), batch_size)
     from halo2_plonky2_verifier_tpu.refimpl.fixtures import get_fibonacci_proof_batch
@@ -67,12 +67,17 @@ def main():
     compile_s = time.time() - t0
     assert verdict.all(), "benchmark proofs must verify"
 
-    # timed region
+    # timed region: verdicts are AND-chained so every execution's result is
+    # data-dependent on the previous one and the final host fetch is a true
+    # barrier for all of them (async dispatch still overlaps dispatch with
+    # device work, but nothing can be skipped or left in flight).
     t0 = time.time()
-    for _ in range(iters):
-        v = verify(batch)
-    v.block_until_ready()
+    vacc = verify(batch)
+    for _ in range(iters - 1):
+        vacc = vacc & verify(batch)
+    final = np.asarray(vacc)
     dt = (time.time() - t0) / iters
+    assert final.all()
     proofs_per_sec = batch_size / dt
 
     target = 10_000.0  # BASELINE.json north-star (v5p); reference has no numbers

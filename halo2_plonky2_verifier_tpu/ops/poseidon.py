@@ -138,7 +138,7 @@ def _impl():
 # (net regression at 107k lanes: 23.3k -> 17.5k proofs/s).  So the kernel
 # only engages for very wide standalone batches (bulk hashing, proof-factory
 # grinding); the fully-fused scan path serves the verifier.
-_PALLAS_MIN_LANES = 1 << 17
+_PALLAS_MIN_LANES = int(os.environ.get("POSEIDON_PALLAS_MIN_LANES", 1 << 17))
 
 
 def permute(state):

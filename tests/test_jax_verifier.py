@@ -22,13 +22,25 @@ def _setup(num_rows, batch=2):
     return stark, config, degree_bits, shape, proofs
 
 
+_VCACHE = {}
+
+
+def _verifier(stark, config, degree_bits, hasher="poseidon_goldilocks"):
+    """One compiled verifier per shape for the whole test session."""
+    key = (stark.num_rows, degree_bits, hasher)
+    if key not in _VCACHE:
+        _VCACHE[key] = smart_jit(build_verifier(
+            stark, config, degree_bits, hasher=hasher))
+    return _VCACHE[key]
+
+
 @pytest.mark.parametrize("num_rows", [1 << 3, 1 << 5])
 def test_verify_accepts_valid_proofs(num_rows):
-    stark, config, degree_bits, shape, proofs = _setup(num_rows)
+    stark, config, degree_bits, shape, proofs = _setup(num_rows, batch=6)
     batch = load_proofs(proofs, shape)
-    verify = smart_jit(build_verifier(stark, config, degree_bits))
+    verify = _verifier(stark, config, degree_bits)
     verdict = np.asarray(verify(batch))
-    assert verdict.shape == (2,)
+    assert verdict.shape == (6,)
     assert verdict.all(), "valid proofs must verify"
 
 
@@ -44,20 +56,20 @@ def test_verify_rejects_tampering():
     ev.evals_proofs[0][0][1] = (ev.evals_proofs[0][0][1] + 1) % gl.P
 
     batch = load_proofs(proofs, shape)
-    verify = smart_jit(build_verifier(stark, config, degree_bits))
+    verify = _verifier(stark, config, degree_bits)
     verdict = np.asarray(verify(batch))
     assert verdict[0], "untampered lane must stay valid"
     assert not verdict[1:].any(), f"tampered lanes must fail: {verdict}"
 
 
 def test_verify_rejects_noncanonical_witness():
-    stark, config, degree_bits, shape, proofs = _setup(1 << 3, batch=2)
+    stark, config, degree_bits, shape, proofs = _setup(1 << 3, batch=6)
     # a value >= p must be rejected by the canonicality (range) check
     proofs[1].proof.openings.next_values[0] = (gl.P, 0)
     batch = load_proofs(proofs, shape)
-    verify = smart_jit(build_verifier(stark, config, degree_bits))
+    verify = _verifier(stark, config, degree_bits)
     verdict = np.asarray(verify(batch))
-    assert verdict[0] and not verdict[1]
+    assert verdict[0] and not verdict[1] and verdict[2:].all()
 
 
 def test_challenges_match_refimpl():
@@ -112,3 +124,25 @@ def test_bn254_config_verify():
                                       hasher="poseidon_bn254"))
     verdict = np.asarray(verify(batch))
     assert list(verdict) == [True, False, False], verdict
+
+
+@pytest.mark.parametrize("num_rows", [1 << 7, 1 << 11])
+def test_verify_with_fri_folding(num_rows):
+    """Shapes with commit-phase reduction steps: n=2^7 (one arity-16 fold),
+    n=2^11 (two folds, nonzero step-tree depth) — exercising eval-consistency
+    gathers, barycentric coset interpolation, step Merkle paths, and beta
+    challenges in the JAX verifier."""
+    stark, config, degree_bits, shape, proofs = _setup(num_rows, batch=4)
+    assert len(proofs[0].proof.opening_proof.query_round_proofs[0].steps) >= 1
+    # tamper: corrupt one step eval (must break eval-consistency or the fold)
+    st = proofs[1].proof.opening_proof.query_round_proofs[5].steps[0]
+    st.evals[3] = ((st.evals[3][0] + 1) % gl.P, st.evals[3][1])
+    # tamper: corrupt a commit-phase cap hash
+    proofs[2].proof.opening_proof.commit_phase_merkle_caps[0][1][0] ^= 1
+    # tamper: corrupt the final polynomial
+    fp = proofs[3].proof.opening_proof.final_poly
+    fp[0] = ((fp[0][0] + 1) % gl.P, fp[0][1])
+    batch = load_proofs(proofs, shape)
+    verify = smart_jit(build_verifier(stark, config, degree_bits))
+    verdict = np.asarray(verify(batch))
+    assert list(verdict) == [True, False, False, False], verdict

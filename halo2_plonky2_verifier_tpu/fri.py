@@ -70,7 +70,10 @@ def merged_merkle_verdict(H, nodes, indices, siblings, depths, caps, cap_index):
     """
     S = len(depths)
     d_max = max(depths) if depths else 0
-    if d_max:
+    if d_max and getattr(H, "supports_planes", False):
+        nodes, indices = _gl_merkle_scan_planes(
+            nodes, indices, siblings, depths, d_max)
+    elif d_max:
         level_active = np.zeros((d_max, S), dtype=bool)
         for s, d in enumerate(depths):
             level_active[:d, s] = True
@@ -95,6 +98,50 @@ def merged_merkle_verdict(H, nodes, indices, siblings, depths, caps, cap_index):
 
     root = H.take_cap(caps, cap_index)               # (B, Q, S[, hash])
     return H.eq(root, nodes)
+
+
+def _gl_merkle_scan_planes(nodes, indices, siblings, depths, d_max):
+    """Goldilocks Merkle level scan in plane layout (hash element index on
+    sublanes, flattened batch*query*slot on lanes) — the TPU-optimal layout;
+    the Poseidon compression runs via ops.poseidon.two_to_one_planes (fused
+    Pallas kernel for wide lanes, no transposes inside the scan)."""
+    B, Q, S = indices.shape
+    N = B * Q * S
+    level_active = np.zeros((d_max, S), dtype=bool)
+    for si, d in enumerate(depths):
+        level_active[:d, si] = True
+    act_flat = np.broadcast_to(level_active[:, None, None, :],
+                               (d_max, B, Q, S)).reshape(d_max, N)
+
+    def to_planes(h):
+        return (h[0].reshape(N, 4).T, h[1].reshape(N, 4).T)
+
+    node_p = to_planes(nodes)
+    idx_flat = indices.reshape(N)
+    # siblings: (B, Q, S, Dmax, 4) -> (Dmax, 4, N)
+    sib_p = (jnp.transpose(siblings[0], (3, 4, 0, 1, 2)).reshape(d_max, 4, N),
+             jnp.transpose(siblings[1], (3, 4, 0, 1, 2)).reshape(d_max, 4, N))
+
+    def level(carry, x):
+        (node, idx) = carry                         # pair (4,N), (N,)
+        (sib_hi, sib_lo, active) = x                # (4,N) x2, (N,)
+        sib = (sib_hi, sib_lo)
+        bit = ((idx & np.uint32(1)) == 1)[None, :]  # (1,N)
+        left = gl.select(bit, sib, node)
+        right = gl.select(bit, node, sib)
+        new_node = poseidon.two_to_one_planes(left, right)
+        node = gl.select(active[None, :], new_node, node)
+        idx = jnp.where(active, idx >> np.uint32(1), idx)
+        return (node, idx), None
+
+    from .utils import profiling
+    with profiling.multiplier(d_max), profiling.scope("two_to_one"):
+        (node_p, idx_flat), _ = jax.lax.scan(
+            level, (node_p, idx_flat),
+            (sib_p[0], sib_p[1], jnp.asarray(act_flat)))
+
+    nodes = (node_p[0].T.reshape(B, Q, S, 4), node_p[1].T.reshape(B, Q, S, 4))
+    return nodes, idx_flat.reshape(B, Q, S)
 
 
 def verify_fri(shape, batch, challenges, verdict):

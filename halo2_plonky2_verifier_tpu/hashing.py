@@ -18,6 +18,7 @@ from .ops import poseidon_bn254 as pos_bn
 
 class GLHashOps:
     name = "poseidon_goldilocks"
+    supports_planes = True
 
     @staticmethod
     def leaf_hash(gl_inputs):

@@ -182,6 +182,93 @@ def _permute_jnp(state):
 
 
 # ----------------------------------------------------------------------------
+# Plane layout: state as (12, N) — element index on sublanes, batch on lanes.
+# This is the TPU-optimal layout (the trailing axis of the batch-last form is
+# only 12 wide, wasting 116/128 lanes); the Pallas kernel consumes planes
+# natively, so plane-form call sites pay no transposes at all.
+# ----------------------------------------------------------------------------
+
+def _mds_planes_jnp(state):
+    hi, lo = state
+    limbs = [lo & _MASK16, lo >> 16, hi & _MASK16, hi >> 16]
+    cols = [l * _CIRC[0] for l in limbs]
+    rolled = limbs
+    for i in range(1, W):
+        rolled = [jnp.roll(l, -1, axis=0) for l in rolled]
+        for k in range(4):
+            cols[k] = cols[k] + rolled[k] * _CIRC[i]
+    row0 = (jax.lax.broadcasted_iota(jnp.uint32, cols[0].shape, 0) == 0
+            ).astype(jnp.uint32)
+    for k in range(4):
+        cols[k] = cols[k] + (limbs[k] * _DIAG0) * row0
+    out_limbs = []
+    carry = jnp.zeros_like(cols[0])
+    for k in range(4):
+        v = cols[k] + carry
+        out_limbs.append(v & _MASK16)
+        carry = v >> 16
+    lo64 = gl.from_limbs16(out_limbs)
+    hi64 = (jnp.zeros_like(carry), carry)
+    return gl.reduce128(hi64, lo64)
+
+
+def _full_round_planes(state, rc):
+    state = gl.add(state, rc)
+    state = _sbox(state)
+    return _mds_planes_jnp(state)
+
+
+def _partial_round_planes(state, rc):
+    state = gl.add(state, rc)
+    s0 = _sbox((state[0][0:1, :], state[1][0:1, :]))
+    state = (jnp.concatenate([s0[0], state[0][1:, :]], axis=0),
+             jnp.concatenate([s0[1], state[1][1:, :]], axis=0))
+    return _mds_planes_jnp(state)
+
+
+def permute_planes(state):
+    """(hi, lo) pair of (12, N) u32 planes -> permuted planes.  Dispatches to
+    the fused Pallas kernel on TPU for wide N (no transposes either way)."""
+    n = state[0].shape[1]
+    if _impl() == "pallas" and n >= _PALLAS_MIN_LANES:
+        from . import poseidon_pallas
+
+        return poseidon_pallas.permute_planes(state[0], state[1])
+
+    from ..utils import profiling
+
+    if profiling.active():
+        profiling.record("poseidon_permute", n)
+
+    def scan_rounds(body, st, lo_r, hi_r):
+        rc = (jnp.asarray(_RC_HI[lo_r:hi_r])[:, :, None],
+              jnp.asarray(_RC_LO[lo_r:hi_r])[:, :, None])
+
+        def step(carry, x):
+            return body(carry, x), None
+
+        with profiling.multiplier(hi_r - lo_r):
+            st, _ = jax.lax.scan(step, st, rc)
+        return st
+
+    r0 = HALF_N_FULL_ROUNDS
+    r1 = HALF_N_FULL_ROUNDS + N_PARTIAL_ROUNDS
+    state = scan_rounds(_full_round_planes, state, 0, r0)
+    state = scan_rounds(_partial_round_planes, state, r0, r1)
+    state = scan_rounds(_full_round_planes, state, r1, N_ROUNDS)
+    return state
+
+
+def two_to_one_planes(left, right):
+    """left/right: (4, N) hash planes -> (4, N) compressed hash planes."""
+    z = (jnp.zeros_like(left[0]), jnp.zeros_like(left[1]))
+    state = (jnp.concatenate([left[0], right[0], z[0]], axis=0),
+             jnp.concatenate([left[1], right[1], z[1]], axis=0))
+    out = permute_planes(state)
+    return (out[0][:4, :], out[1][:4, :])
+
+
+# ----------------------------------------------------------------------------
 # Sponge / hashing (plonky2 semantics)
 # ----------------------------------------------------------------------------
 

@@ -37,6 +37,7 @@ def main():
     from halo2_plonky2_verifier_tpu.utils.compile import smart_jit
 
     num_rows = int(os.environ.get("BENCH_NUM_ROWS", "32"))
+    bench_config = os.environ.get("BENCH_CONFIG", "gl")  # gl | bn254
     batch_size = int(os.environ.get("BENCH_BATCH", "1024"))
     # sub-batches scanned inside one jit call: amortizes dispatch overhead
     # while keeping the per-step working set cache-friendly
@@ -44,14 +45,18 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "15"))
 
     distinct = min(int(os.environ.get("BENCH_DISTINCT", "32")), batch_size)
+    from halo2_plonky2_verifier_tpu.refimpl import hashers
     from halo2_plonky2_verifier_tpu.refimpl.fixtures import get_fibonacci_proof_batch
-    stark, config, base_proofs = get_fibonacci_proof_batch(num_rows, distinct)
+    hasher_ref = hashers.BN254 if bench_config == "bn254" else None
+    hasher = "poseidon_bn254" if bench_config == "bn254" else "poseidon_goldilocks"
+    stark, config, base_proofs = get_fibonacci_proof_batch(
+        num_rows, distinct, hasher=hasher_ref)
     degree_bits = base_proofs[0].proof.recover_degree_bits(config)
-    shape = proof_shape(stark, config, degree_bits)
+    shape = proof_shape(stark, config, degree_bits, hasher)
     proofs = [base_proofs[i % distinct] for i in range(batch_size)]
     batch = load_proofs(proofs, shape)
 
-    verify_one = build_verifier(stark, config, degree_bits)
+    verify_one = build_verifier(stark, config, degree_bits, hasher=hasher)
     if sub_batches > 1:
         batch = jax.tree_util.tree_map(
             lambda x: jax.numpy.stack([x] * sub_batches), batch)
@@ -81,8 +86,11 @@ def main():
     proofs_per_sec = batch_size / dt
 
     target = 10_000.0  # BASELINE.json north-star (v5p); reference has no numbers
+    metric = "fib_stark_fri_verifications_per_sec_per_chip"
+    if bench_config == "bn254":
+        metric = "fib_stark_fri_verifications_per_sec_per_chip_bn254"
     print(json.dumps({
-        "metric": "fib_stark_fri_verifications_per_sec_per_chip",
+        "metric": metric,
         "value": round(proofs_per_sec, 1),
         "unit": "proofs/s",
         "vs_baseline": round(proofs_per_sec / target, 4),

@@ -57,6 +57,7 @@ def main():
     batch = load_proofs(proofs, shape)
 
     verify_one = build_verifier(stark, config, degree_bits, hasher=hasher)
+    batch_small, small_size = batch, batch_size  # for the op census
     if sub_batches > 1:
         batch = jax.tree_util.tree_map(
             lambda x: jax.numpy.stack([x] * sub_batches), batch)
@@ -89,12 +90,35 @@ def main():
     metric = "fib_stark_fri_verifications_per_sec_per_chip"
     if bench_config == "bn254":
         metric = "fib_stark_fri_verifications_per_sec_per_chip_bn254"
-    print(json.dumps({
+    result = {
         "metric": metric,
         "value": round(proofs_per_sec, 1),
         "unit": "proofs/s",
         "vs_baseline": round(proofs_per_sec / target, 4),
-    }))
+    }
+
+    # Roofline / MFU accounting (BASELINE.json's stated metric: Goldilocks
+    # muls/sec vs speed-of-light).  Numerator: op-census gl_muls per proof
+    # (exact trace-time count, the MockProver-cell analog) x measured
+    # proofs/s.  Denominator: a chained-dependency gl.mul stream (see
+    # tools/sol_bench.py).
+    if os.environ.get("BENCH_ROOFLINE", "1") == "1" and bench_config == "gl":
+        from halo2_plonky2_verifier_tpu.utils import profiling
+
+        tree = profiling.profile_verifier(verify_one, batch_small)
+        muls_per_proof = tree.root.total("gl_mul") / small_size
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from sol_bench import measure_gl_mul_sol
+
+        sol, _ = measure_gl_mul_sol()
+        mul_rate = muls_per_proof * proofs_per_sec
+        result["gl_mul_per_proof"] = int(muls_per_proof)
+        result["gl_mul_per_sec"] = round(mul_rate, 0)
+        result["sol_gl_mul_per_sec"] = round(sol, 0)
+        result["pct_speed_of_light"] = round(100.0 * mul_rate / sol, 2)
+
+    print(json.dumps(result))
     print(f"# n=2^{degree_bits} rows, batch={batch_size}, {dt*1e3:.1f} ms/batch, "
           f"compile {compile_s:.0f}s, device={jax.devices()[0].device_kind}",
           file=sys.stderr)

@@ -106,6 +106,26 @@ class ContextTree:
         walk(self.root, "")
         return "\n".join(lines)
 
+    def reversed_tree(self, metric="gl_mul"):
+        """Tree with every stack reversed (leaf-up aggregation) — the analog
+        of the reference's committed *_rev.svg flamegraph variants
+        (util/context_wrapper.rs:63-80 writes both orientations)."""
+        rev = ContextTree(self.root.name)
+
+        def walk(node, path):
+            path = path + [node.name]
+            self_cost = node.counts.get(metric, 0)
+            if self_cost:
+                cur = rev.root
+                for name in reversed(path[1:]):
+                    cur = cur.child(name)
+                cur.counts[metric] = cur.counts.get(metric, 0) + self_cost
+            for c in node.children.values():
+                walk(c, path)
+
+        walk(self.root, [])
+        return rev
+
     def write_collapsed(self, path, metric="gl_mul"):
         with open(path, "w") as f:
             f.write(self.collapsed(metric) + "\n")

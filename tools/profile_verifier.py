@@ -48,7 +48,10 @@ def main():
     tree.write_collapsed(os.path.join(out_dir, f"{cfg}_n{num_rows}.folded"), metric)
     tree.write_flamegraph_svg(
         os.path.join(out_dir, f"{cfg}_n{num_rows}.svg"), metric, title=title)
-    print(f"\nwrote {out_dir}/{cfg}_n{num_rows}.folded and .svg")
+    tree.reversed_tree(metric).write_flamegraph_svg(
+        os.path.join(out_dir, f"{cfg}_n{num_rows}_rev.svg"), metric,
+        title=title + " (reversed)")
+    print(f"\nwrote {out_dir}/{cfg}_n{num_rows}{{.folded,.svg,_rev.svg}}")
 
 
 if __name__ == "__main__":

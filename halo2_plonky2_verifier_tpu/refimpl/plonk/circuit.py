@@ -1,0 +1,305 @@
+"""plonky2 CircuitBuilder / CircuitData — pure-int reference.
+
+Builds a PLONK circuit over the Goldilocks field with plonky2's layout:
+
+  - one gate per row; rows padded to a power of two with NoopGates;
+  - selector polynomials hold the row gate's index in the circuit gate list
+    (UNUSED elsewhere), grouped so filtered constraint degree stays within
+    the quotient degree factor (gates/selectors.rs semantics);
+  - copy constraints over the first `num_routed_wires` columns become sigma
+    polynomials: cells of one equivalence class form a cycle, cell (col, row)
+    encoded as k_col * g^row with coset shifts k_i = 7^i (plonky2
+    get_unique_coset_shifts);
+  - the preprocessed oracle (selectors ++ gate constants ++ sigmas) is
+    committed once at build time; its cap + a circuit digest form the
+    verifier data.
+
+Repo conventions (documented divergences from plonky2, which cannot be
+byte-checked without the Rust crate in this environment):
+  - circuit_digest = hash_no_pad(flattened constants_sigmas cap ++ [degree_bits])
+    (plonky2 hashes a superset of circuit parameters; any fixed binding works
+    for Fiat-Shamir domain separation);
+  - public-input targets are free wires on a NoopGate row routed by copy
+    constraints; the PublicInputGate row constrains its 4 wires to the
+    public-input hash exactly as plonky2 does, but the hash is computed by
+    the prover out-of-circuit rather than by an in-circuit PoseidonGate
+    chain (verifier semantics identical: it recomputes the hash from the
+    claimed public inputs, so tampered public inputs are rejected).
+"""
+
+from dataclasses import dataclass, field as dc_field
+from typing import List, Tuple
+
+from ...utils.config import FriConfig
+from .. import field as gl
+from ..poseidon import hash_no_pad
+from .gates import (
+    UNUSED_SELECTOR,
+    ArithmeticGate,
+    ConstantGate,
+    NoopGate,
+    PublicInputGate,
+    compute_selector_groups,
+)
+
+
+@dataclass(frozen=True)
+class CircuitConfig:
+    num_wires: int = 20
+    num_routed_wires: int = 16
+    num_challenges: int = 2
+    max_quotient_degree_factor: int = 8
+    fri_config: FriConfig = dc_field(default_factory=FriConfig)
+
+
+Target = Tuple[int, int]  # (row, column)
+
+
+def compute_circuit_digest(constants_sigmas_cap, degree_bits):
+    """Fiat-Shamir binding of the circuit (see module docstring: repo
+    convention standing in for plonky2's circuit_digest)."""
+    return hash_no_pad(
+        [x for h in constants_sigmas_cap for x in h] + [degree_bits])
+
+
+@dataclass
+class CommonCircuitData:
+    """Everything both prover and verifier need (plonky2 CommonCircuitData)."""
+    config: CircuitConfig
+    degree_bits: int
+    gates: list                 # gate objects, circuit order (selector order)
+    selector_groups: list       # [(start, end)] ranges over `gates`
+    gate_instances: list        # per-row (gate_list_index, constants)
+    num_gate_constraints: int
+    num_constants: int          # selectors + gate constants (opened together)
+    k_is: list
+
+    @property
+    def num_selectors(self):
+        return len(self.selector_groups)
+
+    @property
+    def quotient_degree_factor(self):
+        return self.config.max_quotient_degree_factor
+
+    @property
+    def num_partial_products(self):
+        r = self.config.num_routed_wires
+        q = self.quotient_degree_factor
+        return (r + q - 1) // q - 1
+
+    @property
+    def degree(self):
+        return 1 << self.degree_bits
+
+    def fri_params(self):
+        return self.config.fri_config.fri_params(self.degree_bits)
+
+    def fri_instance_batches(self, zeta):
+        """4-oracle FRI instance (plonky2 CommonCircuitData::get_fri_instance):
+        oracle 0 = constants+sigmas, 1 = wires, 2 = zs+partial products,
+        3 = quotient; zeta*g batch opens the Zs only."""
+        cfg = self.config
+        cs = [(0, i) for i in range(self.num_constants + cfg.num_routed_wires)]
+        wires = [(1, i) for i in range(cfg.num_wires)]
+        zs = [(2, i) for i in range(cfg.num_challenges)]
+        pps = [(2, cfg.num_challenges + i)
+               for i in range(cfg.num_challenges * self.num_partial_products)]
+        quot = [(3, i)
+                for i in range(cfg.num_challenges * self.quotient_degree_factor)]
+        g_sub = gl.primitive_root_of_unity(self.degree_bits)
+        zeta_next = gl.ext_mul(gl.ext_from_base(g_sub), zeta)
+        return [(zeta, cs + wires + zs + pps + quot), (zeta_next, zs)]
+
+
+@dataclass
+class VerifierCircuitData:
+    constants_sigmas_cap: list
+    circuit_digest: list        # 4 Goldilocks elements
+
+
+@dataclass
+class ProverCircuitData:
+    constants_sigmas_batch: object   # PolynomialBatch
+    sigma_values: list               # [col][row] ints (for Z computation)
+    representatives: dict            # cell -> representative cell
+    input_targets: list
+
+
+class _UnionFind:
+    def __init__(self):
+        self.parent = {}
+
+    def find(self, x):
+        p = self.parent.setdefault(x, x)
+        if p != x:
+            p = self.parent[x] = self.find(p)
+        return p
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[rb] = ra
+
+
+class CircuitBuilder:
+    def __init__(self, config: CircuitConfig = None):
+        self.config = config or CircuitConfig()
+        self.rows = []              # (gate object, constants list)
+        self.copies = _UnionFind()
+        self.public_inputs = []     # targets
+        self._input_row = None
+        self._input_next = 0
+        self._const_rows = []       # (row, used)
+        self._const_cache = {}
+        self._arith_slots = {}      # (c0, c1) -> (row, next_op)
+
+    # -- gate allocation ------------------------------------------------------
+
+    def add_gate(self, gate, constants=()):
+        self.rows.append((gate, list(constants)))
+        return len(self.rows) - 1
+
+    def add_input(self) -> Target:
+        """A free routed wire (set from values at prove time)."""
+        if self._input_row is None or self._input_next >= self.config.num_routed_wires:
+            self._input_row = self.add_gate(NoopGate())
+            self._input_next = 0
+        t = (self._input_row, self._input_next)
+        self._input_next += 1
+        return t
+
+    def constant(self, value) -> Target:
+        value = value % gl.P
+        if value in self._const_cache:
+            return self._const_cache[value]
+        n = 4
+        if not self._const_rows or self._const_rows[-1][1] >= n:
+            row = self.add_gate(ConstantGate(n), [0] * n)
+            self._const_rows.append([row, 0])
+        row, used = self._const_rows[-1]
+        self.rows[row][1][used] = value
+        self._const_rows[-1][1] += 1
+        t = (row, used)
+        self._const_cache[value] = t
+        return t
+
+    def arithmetic(self, c0, c1, m0: Target, m1: Target, addend: Target) -> Target:
+        """out = c0 * m0 * m1 + c1 * addend (plonky2 arithmetic op)."""
+        key = (c0 % gl.P, c1 % gl.P)
+        num_ops = self.config.num_routed_wires // 4
+        slot = self._arith_slots.get(key)
+        if slot is None or slot[1] >= num_ops:
+            row = self.add_gate(ArithmeticGate(num_ops), list(key))
+            slot = [row, 0]
+            self._arith_slots[key] = slot
+        row, op = slot
+        w = ArithmeticGate.wires_ith_op(op)
+        slot[1] += 1
+        self.connect(m0, (row, w[0]))
+        self.connect(m1, (row, w[1]))
+        self.connect(addend, (row, w[2]))
+        return (row, w[3])
+
+    def add(self, a, b):
+        return self.arithmetic(1, 1, a, self.constant(1), b)
+
+    def mul(self, a, b):
+        return self.arithmetic(1, 0, a, b, self.constant(0))
+
+    def connect(self, a: Target, b: Target):
+        assert a[1] < self.config.num_routed_wires
+        assert b[1] < self.config.num_routed_wires
+        self.copies.union(a, b)
+
+    def register_public_input(self, t: Target):
+        self.public_inputs.append(t)
+
+    # -- build ----------------------------------------------------------------
+
+    def build(self):
+        cfg = self.config
+        self.add_gate(PublicInputGate())
+        # pad rows to a power of two (>= 4 so L_0 / L_last are distinct rows)
+        n = max(4, 1 << (len(self.rows) - 1).bit_length())
+        while len(self.rows) < n:
+            self.add_gate(NoopGate())
+        degree_bits = n.bit_length() - 1
+
+        # circuit gate list: unique gate types, sorted by degree descending
+        # then id (our deterministic stand-in for plonky2's ordering)
+        by_id = {}
+        for (g, _) in self.rows:
+            by_id.setdefault(g.id(), g)
+        gates = sorted(by_id.values(), key=lambda g: (-g.degree(), g.id()))
+        gate_index = {g.id(): i for i, g in enumerate(gates)}
+        selector_groups = compute_selector_groups(
+            gates, cfg.max_quotient_degree_factor)
+        num_selectors = len(selector_groups)
+
+        # selector polynomial values
+        sel_values = [[UNUSED_SELECTOR] * n for _ in range(num_selectors)]
+        for row, (g, _) in enumerate(self.rows):
+            gi = gate_index[g.id()]
+            grp = next(si for si, (a, b) in enumerate(selector_groups)
+                       if a <= gi < b)
+            sel_values[grp][row] = gi
+
+        # gate-constant polynomial values
+        num_gate_constants = max((g.num_constants for g in gates), default=0)
+        const_values = [[0] * n for _ in range(num_gate_constants)]
+        for row, (g, consts) in enumerate(self.rows):
+            for j, c in enumerate(consts):
+                const_values[j][row] = c % gl.P
+
+        # sigma polynomials from the copy-constraint partition
+        g_sub = gl.primitive_root_of_unity(degree_bits)
+        k_is = [pow(gl.GENERATOR, i, gl.P) for i in range(cfg.num_routed_wires)]
+        subgroup = []
+        x = 1
+        for _ in range(n):
+            subgroup.append(x)
+            x = x * g_sub % gl.P
+        classes = {}
+        for row in range(n):
+            for col in range(cfg.num_routed_wires):
+                rep = self.copies.find((row, col))
+                classes.setdefault(rep, []).append((row, col))
+        sigma_values = [[0] * n for _ in range(cfg.num_routed_wires)]
+        for cells in classes.values():
+            for t, (row, col) in enumerate(cells):
+                nrow, ncol = cells[(t + 1) % len(cells)]
+                sigma_values[col][row] = k_is[ncol] * subgroup[nrow] % gl.P
+
+        from ..prover import PolynomialBatch
+
+        cs_values = sel_values + const_values + sigma_values
+        cs_batch = PolynomialBatch.from_values(
+            cs_values, cfg.fri_config.rate_bits, cfg.fri_config.cap_height)
+
+        digest = compute_circuit_digest(cs_batch.merkle_tree.cap, degree_bits)
+
+        common = CommonCircuitData(
+            config=cfg,
+            degree_bits=degree_bits,
+            gates=gates,
+            selector_groups=selector_groups,
+            gate_instances=[(gate_index[g.id()], consts)
+                            for (g, consts) in self.rows],
+            num_gate_constraints=max((g.num_constraints() for g in gates),
+                                     default=0),
+            num_constants=num_selectors + num_gate_constants,
+            k_is=k_is,
+        )
+        verifier_data = VerifierCircuitData(
+            constants_sigmas_cap=cs_batch.merkle_tree.cap,
+            circuit_digest=digest,
+        )
+        prover_data = ProverCircuitData(
+            constants_sigmas_batch=cs_batch,
+            sigma_values=sigma_values,
+            representatives={c: self.copies.find(c)
+                             for cells in classes.values() for c in cells},
+            input_targets=[],
+        )
+        return common, prover_data, verifier_data, self

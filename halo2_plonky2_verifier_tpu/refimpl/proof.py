@@ -95,6 +95,56 @@ def _ext_to_json(e):
     return [int(e[0]), int(e[1])]
 
 
+def proof_to_json_dict_fri(op: FriProof) -> dict:
+    return {
+        "commit_phase_merkle_caps": op.commit_phase_merkle_caps,
+        "final_poly": [_ext_to_json(e) for e in op.final_poly],
+        "pow_witness": op.pow_witness,
+        "query_round_proofs": [
+            {
+                "initial_trees_proof": [
+                    {"evals": evals, "siblings": mp.siblings}
+                    for (evals, mp) in qr.initial_trees_proof.evals_proofs
+                ],
+                "steps": [
+                    {
+                        "evals": [_ext_to_json(e) for e in st.evals],
+                        "siblings": st.merkle_proof.siblings,
+                    }
+                    for st in qr.steps
+                ],
+            }
+            for qr in op.query_round_proofs
+        ],
+    }
+
+
+def fri_proof_from_json_dict(op: dict) -> FriProof:
+    return FriProof(
+        commit_phase_merkle_caps=op["commit_phase_merkle_caps"],
+        query_round_proofs=[
+            FriQueryRound(
+                initial_trees_proof=FriInitialTreeProof(
+                    evals_proofs=[
+                        (ep["evals"], MerkleProof(siblings=ep["siblings"]))
+                        for ep in qr["initial_trees_proof"]
+                    ]
+                ),
+                steps=[
+                    FriQueryStep(
+                        evals=[tuple(e) for e in st["evals"]],
+                        merkle_proof=MerkleProof(siblings=st["siblings"]),
+                    )
+                    for st in qr["steps"]
+                ],
+            )
+            for qr in op["query_round_proofs"]
+        ],
+        final_poly=[tuple(e) for e in op["final_poly"]],
+        pow_witness=op["pow_witness"],
+    )
+
+
 def proof_to_json(pwp: StarkProofWithPublicInputs) -> str:
     p = pwp.proof
     op = p.opening_proof

@@ -72,3 +72,33 @@ def get_fibonacci_proof_batch(num_rows, count, config=None, cache_dir=None,
         for pwp in proofs:
             f.write(proof_to_json(pwp) + "\n")
     return stark, config, proofs
+
+
+def get_fibonacci_batch_columnar(num_rows, count, config=None, cache_dir=None,
+                                 hasher=None):
+    """`count` DISTINCT proofs as a loaded, columnar ProofBatch — cached as
+    one compressed npz so batch load time is seconds even at count=4096
+    (the per-proof JSON walk runs only once, at cache build).
+
+    Returns (stark, config, batch)."""
+    from .. import load_proofs, proof_shape
+    from ..witness import load_batch_npz, save_batch_npz
+
+    config = config or StarkConfig.standard_fast_config()
+    cache_dir = cache_dir or FIXTURE_DIR
+    hasher_name = "poseidon_goldilocks" if hasher is None else hasher.name
+    suffix = "" if hasher_name == "poseidon_goldilocks" else f"_{hasher_name}"
+    npz = os.path.join(cache_dir,
+                       f"fib_stark_n{num_rows}{suffix}_x{count}.npz")
+    stark, config, pwp = get_fibonacci_proof(num_rows, config, cache_dir,
+                                             hasher)
+    degree_bits = pwp.proof.recover_degree_bits(config)
+    shape = proof_shape(stark, config, degree_bits, hasher_name)
+    if os.path.exists(npz):
+        template = load_proofs([pwp], shape)
+        return stark, config, load_batch_npz(npz, template)
+    _, _, proofs = get_fibonacci_proof_batch(num_rows, count, config,
+                                             cache_dir, hasher)
+    batch = load_proofs(proofs, shape)
+    save_batch_npz(npz, batch)
+    return stark, config, batch

@@ -125,11 +125,16 @@ def fri_instance_polys(shape):
 
 
 def build_verifier(stark, config, degree_bits, check_vanishing=True,
-                   hasher="poseidon_goldilocks"):
+                   hasher="poseidon_goldilocks", query_shard_axis=None):
     """Returns verify(batch) -> (B,) bool.  `hasher` selects the Merkle /
     commitment hash backend ("poseidon_goldilocks" or "poseidon_bn254", the
     reference's two configurations; the transcript sponge is always
-    Poseidon-Goldilocks, stark/mod.rs:493-499)."""
+    Poseidon-Goldilocks, stark/mod.rs:493-499).
+
+    `query_shard_axis`: name of a shard_map mesh axis sharding the FRI query
+    rounds.  The per-proof work (transcript, vanishing check) replicates per
+    shard; each shard verifies its local query slice (Pallas kernels run
+    locally — no GSPMD fallback) and the verdict AND-reduces over the axis."""
     from .hashing import get_hash_ops
 
     shape = proof_shape(stark, config, degree_bits, hasher)
@@ -217,9 +222,14 @@ def build_verifier(stark, config, degree_bits, check_vanishing=True,
         import numpy as np
         q_steps = np.array([r.step for r in query_refs])
         q_lanes = np.array([r.lane for r in query_refs])
-        query_lo = ys[1][q_steps, :, q_lanes].T if ys[1].ndim == 3 \
-            else ys[1][q_steps, q_lanes]
+        q_raw = ys[1][q_steps, q_lanes]      # (Q, B) or (Q,)
+        query_lo = q_raw.T if q_raw.ndim == 2 else q_raw
         # (B, Q)
+        if query_shard_axis is not None:
+            q_local = batch.initial_evals[0][0].shape[1]
+            start = jax.lax.axis_index(query_shard_axis) * q_local
+            query_lo = jax.lax.dynamic_slice_in_dim(
+                query_lo, start, q_local, axis=1)
 
         perm_challenges = None
         if S.uses_permutation:
@@ -295,6 +305,11 @@ def build_verifier(stark, config, degree_bits, check_vanishing=True,
             "openings_batches": [openings_zeta, openings_zeta_next],
         }
         verdict = verify_fri(shape, batch, challenges, verdict)
+        if query_shard_axis is not None:
+            # AND across query shards (the psum-style collective the survey
+            # calls for; SURVEY.md §2c)
+            verdict = jax.lax.pmin(
+                verdict.astype(jnp.int32), query_shard_axis) == 1
         return verdict
 
     return verify

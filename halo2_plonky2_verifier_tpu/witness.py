@@ -117,6 +117,15 @@ class ProofBatch:
     def batch_size(self):
         return self.pow_witness[0].shape[0]
 
+    def oracle_caps(self):
+        """Per-oracle expected caps, in oracle-index order (what verify_fri's
+        initial Merkle checks compare against)."""
+        caps = [self.trace_cap]
+        if self.shape.uses_permutation:
+            caps.append(self.zs_cap)
+        caps.append(self.quotient_cap)
+        return caps
+
 
 def _u64(x):
     return np.array(x, dtype=np.uint64)
@@ -208,6 +217,32 @@ def load_proofs(proofs, shape: ProofShape) -> ProofBatch:
         step_siblings=step_siblings,
         public_inputs=dev(public_inputs),
     )
+
+
+def save_batch_npz(path, batch: ProofBatch):
+    """Columnar on-disk cache of a loaded batch: one compressed npz holding
+    every device array.  Loading thousands of DISTINCT proofs through the
+    per-proof JSON path is a one-time cost; after this cache exists, batch
+    load time is independent of how the proofs were produced."""
+    import jax
+    import numpy as np
+
+    leaves = jax.tree_util.tree_leaves(batch)
+    np.savez_compressed(path, **{f"a{i}": np.asarray(x)
+                                 for i, x in enumerate(leaves)})
+
+
+def load_batch_npz(path, template: ProofBatch) -> ProofBatch:
+    """Rebuild a ProofBatch from save_batch_npz output.  `template` is any
+    batch of the same proof GEOMETRY (e.g. one loaded proof) — it provides
+    the pytree structure; batch sizes may differ."""
+    import jax
+    import numpy as np
+
+    data = np.load(path)
+    _, treedef = jax.tree_util.tree_flatten(template)
+    leaves = [data[f"a{i}"] for i in range(treedef.num_leaves)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def scalar_arrays(batch: ProofBatch):

@@ -58,7 +58,8 @@ def bit_reverse_u32(idx, nbits):
 
 
 def merged_merkle_verdict(H, nodes, indices, siblings, depths, caps, cap_index):
-    """Verify a stack of Merkle paths with one scan (hash backend H).
+    """Verify a stack of Merkle paths with one scan, batch-last layout (the
+    BN254 hash backend; GL uses the plane-form path below).
 
     nodes:    (B, Q, S[, hash]) — leaf hashes per slot
     indices:  (B, Q, S) u32 — leaf index within each slot's tree
@@ -70,10 +71,7 @@ def merged_merkle_verdict(H, nodes, indices, siblings, depths, caps, cap_index):
     """
     S = len(depths)
     d_max = max(depths) if depths else 0
-    if d_max and getattr(H, "supports_planes", False):
-        nodes, indices = _gl_merkle_scan_planes(
-            nodes, indices, siblings, depths, d_max)
-    elif d_max:
+    if d_max:
         level_active = np.zeros((d_max, S), dtype=bool)
         for s, d in enumerate(depths):
             level_active[:d, s] = True
@@ -100,50 +98,92 @@ def merged_merkle_verdict(H, nodes, indices, siblings, depths, caps, cap_index):
     return H.eq(root, nodes)
 
 
-def _gl_merkle_scan_planes(nodes, indices, siblings, depths, d_max):
-    """Goldilocks Merkle level scan in plane layout (hash element index on
-    sublanes, flattened batch*query*slot on lanes) — the TPU-optimal layout;
-    the Poseidon compression runs via ops.poseidon.two_to_one_planes (fused
-    Pallas kernel for wide lanes, no transposes inside the scan)."""
-    B, Q, S = indices.shape
-    N = B * Q * S
-    level_active = np.zeros((d_max, S), dtype=bool)
-    for si, d in enumerate(depths):
-        level_active[:d, si] = True
-    act_flat = np.broadcast_to(level_active[:, None, None, :],
-                               (d_max, B, Q, S)).reshape(d_max, N)
+def merkle_scan_planes(node, idx, sib, active):
+    """Plane-form Merkle level loop: node (4, N) pair, idx (N,) u32,
+    sib (d_max, 4, N) pair, active (d_max, N) u32 -> (4, N) root pair.
 
-    def to_planes(h):
-        return (h[0].reshape(N, 4).T, h[1].reshape(N, 4).T)
+    On TPU this is ONE fused pallas_call running every level's select +
+    two_to_one compression with the state resident in VMEM
+    (ops/merkle_pallas.py); the jnp scan (a single two_to_one_planes
+    instance) serves CPU tests, GSPMD sharding, and the op census."""
+    from .ops import poseidon as pos
+    from .utils import profiling
 
-    node_p = to_planes(nodes)
-    idx_flat = indices.reshape(N)
-    # siblings: (B, Q, S, Dmax, 4) -> (Dmax, 4, N)
-    sib_p = (jnp.transpose(siblings[0], (3, 4, 0, 1, 2)).reshape(d_max, 4, N),
-             jnp.transpose(siblings[1], (3, 4, 0, 1, 2)).reshape(d_max, 4, N))
+    d_max = sib[0].shape[0]
+    if d_max == 0:
+        return node
+    if pos._impl() == "pallas" and not profiling.active():
+        from .ops import merkle_pallas
+
+        return merkle_pallas.verify_paths_planes(node, sib, idx, active)
 
     def level(carry, x):
-        (node, idx) = carry                         # pair (4,N), (N,)
-        (sib_hi, sib_lo, active) = x                # (4,N) x2, (N,)
-        sib = (sib_hi, sib_lo)
-        bit = ((idx & np.uint32(1)) == 1)[None, :]  # (1,N)
-        left = gl.select(bit, sib, node)
-        right = gl.select(bit, node, sib)
+        (nd, ix) = carry                            # pair (4,N), (N,)
+        (sib_hi, sib_lo, act) = x                   # (4,N) x2, (N,)
+        s = (sib_hi, sib_lo)
+        bit = ((ix & np.uint32(1)) == 1)[None, :]   # (1,N)
+        left = gl.select(bit, s, nd)
+        right = gl.select(bit, nd, s)
         new_node = poseidon.two_to_one_planes(left, right)
-        node = gl.select(active[None, :], new_node, node)
-        idx = jnp.where(active, idx >> np.uint32(1), idx)
-        return (node, idx), None
+        m = act == np.uint32(1)
+        nd = gl.select(m[None, :], new_node, nd)
+        ix = jnp.where(m, ix >> np.uint32(1), ix)
+        return (nd, ix), None
 
-    from .utils import profiling
     with profiling.multiplier(d_max), profiling.scope("two_to_one"):
-        (node_p, idx_flat), _ = jax.lax.scan(
-            level, (node_p, idx_flat),
-            (sib_p[0], sib_p[1], jnp.asarray(act_flat)))
-
-    nodes = (node_p[0].T.reshape(B, Q, S, 4), node_p[1].T.reshape(B, Q, S, 4))
-    return nodes, idx_flat.reshape(B, Q, S)
+        (node, _), _ = jax.lax.scan(
+            level, (node, idx), (sib[0], sib[1], active))
+    return node
 
 
+def _gl_merkle_planes_verdict(H, leaf_datas, idxs, sibs, depths, caps,
+                              cap_index, d_max):
+    """GL Merkle verification, plane-first: leaf hashing, the level loop, and
+    the cap compare all run with lanes = flattened (slot, batch, query) and
+    hash elements on sublanes — no batch-last detour anywhere on the path."""
+    from .ops import poseidon as pos
+
+    B, Q = idxs[0].shape
+    M = B * Q
+    S = len(depths)
+    node_parts = []
+    for ld in leaf_datas:
+        w = ld[0].shape[-1]
+        planes = (ld[0].reshape(M, w).T, ld[1].reshape(M, w).T)
+        node_parts.append(pos.hash_or_noop_planes(planes))
+    node = (jnp.concatenate([p[0] for p in node_parts], axis=1),
+            jnp.concatenate([p[1] for p in node_parts], axis=1))   # (4, S*M)
+    idx_flat = jnp.concatenate([i.reshape(M) for i in idxs])       # (S*M,)
+    sib_hi, sib_lo = [], []
+    for s, d in zip(sibs, depths):
+        sh = jnp.transpose(s[0], (2, 3, 0, 1)).reshape(d, 4, M)
+        sl = jnp.transpose(s[1], (2, 3, 0, 1)).reshape(d, 4, M)
+        if d < d_max:
+            sh = jnp.pad(sh, ((0, d_max - d), (0, 0), (0, 0)))
+            sl = jnp.pad(sl, ((0, d_max - d), (0, 0), (0, 0)))
+        sib_hi.append(sh)
+        sib_lo.append(sl)
+    sib = (jnp.concatenate(sib_hi, axis=2),
+           jnp.concatenate(sib_lo, axis=2))                        # (dmax,4,S*M)
+    level_active = np.zeros((d_max, S), dtype=np.uint32)
+    for si, d in enumerate(depths):
+        level_active[:d, si] = 1
+    active = jnp.broadcast_to(
+        jnp.asarray(level_active)[:, :, None],
+        (d_max, S, M)).reshape(d_max, S * M)
+
+    out = merkle_scan_planes(node, idx_flat, sib, active)          # (4, S*M)
+    got = (jnp.transpose(out[0].reshape(4, S, B, Q), (2, 3, 1, 0)),
+           jnp.transpose(out[1].reshape(4, S, B, Q), (2, 3, 1, 0)))  # (B,Q,S,4)
+    caps_st = H.stack(caps, 1)                                     # (B,S,cap,4)
+    root = H.take_cap(caps_st, cap_index)                          # (B,Q,S,4)
+    return H.eq(root, got)                                         # (B,Q,S)
+
+
+from .utils.profiling import count
+
+
+@count
 def verify_fri(shape, batch, challenges, verdict):
     from .hashing import get_hash_ops
     from .utils import profiling
@@ -159,7 +199,11 @@ def verify_fri(shape, batch, challenges, verdict):
     """
     S = shape
     B = batch.batch_size
-    Q = S.num_queries
+    # Q from the data, not the config: under query sharding (shard_map over
+    # the qp mesh axis) each shard verifies its local slice of the
+    # S.num_queries independent rounds (the reference's sequential hot loop,
+    # fri/mod.rs:488-501).
+    Q = challenges["query_lo"].shape[-1]
     n_log = S.lde_bits
     assert n_log < 32
 
@@ -217,43 +261,42 @@ def verify_fri(shape, batch, challenges, verdict):
     # --- merged Merkle checks ----------------------------------------------
     _mk_scope = scope("verify_merkle_proofs")
     _mk_scope.__enter__()
-    nodes, idxs, sibs, depths, caps = [], [], [], [], []
+    leaf_datas, idxs, sibs, depths, caps = [], [], [], [], []
     for oi, w in enumerate(S.oracle_widths):
-        nodes.append(H.leaf_hash(batch.initial_evals[oi]))       # (B,Q[,hash])
+        leaf_datas.append(batch.initial_evals[oi])               # (B,Q,w) pair
         idxs.append(x_index)
         sibs.append(batch.initial_siblings[oi])                  # (B,Q,D,4)
         depths.append(S.initial_depth)
-    oracle_caps = [batch.trace_cap]
-    if S.uses_permutation:
-        oracle_caps.append(batch.zs_cap)
-    oracle_caps.append(batch.quotient_cap)
-    caps.extend(oracle_caps)
+    caps.extend(batch.oracle_caps())
 
     cum = 0
-    step_indices = []
     for si, ab in enumerate(S.reduction_arity_bits):
         cum += ab
         coset_idx = x_index >> np.uint32(cum)
-        step_indices.append(coset_idx)
         ev = batch.step_evals[si]                                # (B,Q,arity,2) pair
         flat = (ev[0].reshape(ev[0].shape[:2] + (-1,)),
                 ev[1].reshape(ev[1].shape[:2] + (-1,)))          # (B,Q,2*arity)
-        nodes.append(H.leaf_hash(flat))
+        leaf_datas.append(flat)
         idxs.append(coset_idx)
         sibs.append(batch.step_siblings[si])
         depths.append(S.step_depths[si])
         caps.append(batch.commit_caps[si])
 
     d_max = max(depths)
-    sibs = [s if d == d_max else H.pad_level_axis(s, 1, d_max - d)
-            for s, d in zip(sibs, depths)]
-    nodes_st = H.stack(nodes, 2)                                 # (B,Q,S[,hash])
-    idx_st = jnp.stack(idxs, axis=-1)                            # (B,Q,S)
-    sib_st = H.stack(sibs, 2)                                    # (B,Q,S,Dmax[,hash])
-    caps_st = H.stack(caps, 1)                                   # (B,S,cap[,hash])
-    mk_ok = merged_merkle_verdict(H, nodes_st, idx_st, sib_st, tuple(depths),
-                                  caps_st, cap_index)            # (B,Q,S)
-    verdict = verdict & mk_ok.all(axis=(1, 2))
+    if getattr(H, "supports_planes", False):
+        mk_ok = _gl_merkle_planes_verdict(
+            H, leaf_datas, idxs, sibs, tuple(depths), caps, cap_index, d_max)
+    else:
+        nodes = [H.leaf_hash(ld) for ld in leaf_datas]           # (B,Q[,hash])
+        sibs = [s if d == d_max else H.pad_level_axis(s, 1, d_max - d)
+                for s, d in zip(sibs, depths)]
+        nodes_st = H.stack(nodes, 2)                             # (B,Q,S[,hash])
+        idx_st = jnp.stack(idxs, axis=-1)                        # (B,Q,S)
+        sib_st = H.stack(sibs, 2)                                # (B,Q,S,Dmax[,hash])
+        caps_st = H.stack(caps, 1)                               # (B,S,cap[,hash])
+        mk_ok = merged_merkle_verdict(H, nodes_st, idx_st, sib_st,
+                                      tuple(depths), caps_st, cap_index)
+    verdict = verdict & mk_ok.all(axis=(1, 2))                   # (B,Q,S)
     _mk_scope.__exit__(None, None, None)
 
     # --- reduction steps (fri/mod.rs:403-438) ------------------------------

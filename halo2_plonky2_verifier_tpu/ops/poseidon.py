@@ -259,6 +259,38 @@ def permute_planes(state):
     return state
 
 
+def hash_no_pad_planes(inputs):
+    """(hi, lo) pair of (w, N) planes -> (4, N) hash planes (plonky2
+    hash_n_to_m_no_pad, overwrite-mode rate-8 absorb; permutation.rs:286-305).
+    Dispatches to the fused in-VMEM Pallas sponge on TPU."""
+    from ..utils import profiling
+
+    w, n = inputs[0].shape
+    if _impl() == "pallas" and not profiling.active():
+        from . import merkle_pallas
+
+        return merkle_pallas.hash_no_pad_planes(inputs)
+    state = (jnp.zeros((W, n), jnp.uint32), jnp.zeros((W, n), jnp.uint32))
+    off = 0
+    while off < w:
+        k = min(SPONGE_RATE, w - off)
+        state = (jnp.concatenate([inputs[0][off:off + k], state[0][k:]], axis=0),
+                 jnp.concatenate([inputs[1][off:off + k], state[1][k:]], axis=0))
+        state = permute_planes(state)
+        off += k
+    return (state[0][:4, :], state[1][:4, :])
+
+
+def hash_or_noop_planes(inputs):
+    """Plane-form hash_or_noop (reference: hash/mod.rs:109-119): <= 4 input
+    rows are zero-padded to 4 (noop); wider inputs are sponged."""
+    w = inputs[0].shape[0]
+    if w <= 4:
+        pad = ((0, 4 - w), (0, 0))
+        return (jnp.pad(inputs[0], pad), jnp.pad(inputs[1], pad))
+    return hash_no_pad_planes(inputs)
+
+
 def two_to_one_planes(left, right):
     """left/right: (4, N) hash planes -> (4, N) compressed hash planes."""
     z = (jnp.zeros_like(left[0]), jnp.zeros_like(left[1]))

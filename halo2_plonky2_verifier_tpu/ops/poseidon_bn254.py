@@ -84,7 +84,9 @@ def _round_body(state, rc, m_mont, full):
 
 
 def permute_mont(state):
-    """(..., 4, 16) Montgomery-form state -> permuted Montgomery state."""
+    """(..., 4, 16) Montgomery-form state -> permuted Montgomery state.
+    Dispatches to the fused in-VMEM Pallas plane kernel on TPU
+    (ops/poseidon_bn254_pallas.py); jnp scan elsewhere / under the census."""
     from ..utils import profiling
 
     if profiling.active():
@@ -92,6 +94,13 @@ def permute_mont(state):
         for d in state.shape[:-2]:
             n *= d
         profiling.record("poseidon_bn254_permute", n)
+    else:
+        from . import poseidon
+
+        if poseidon._impl() == "pallas":
+            from . import poseidon_bn254_pallas
+
+            return poseidon_bn254_pallas.permute_mont_batchlast(state)
     c_mont, m_mont = _get_tables()
     mm = jnp.asarray(m_mont)
 

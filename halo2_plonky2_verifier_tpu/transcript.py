@@ -89,7 +89,8 @@ def run_schedule(schedule, elements):
     """Execute the schedule.
 
     elements: Goldilocks pair of (B, n_elements) arrays (observation order).
-    Returns squeeze outputs ys as a pair of (n_steps, B, 8) arrays.
+    Returns squeeze outputs ys as a pair of (n_steps, 8, B) arrays (plane
+    layout: squeeze lane on the middle axis, batch last).
     """
     n_steps = len(schedule.steps)
     assert n_steps > 0
@@ -99,7 +100,19 @@ def run_schedule(schedule, elements):
     mask = np.array(
         [[s is not None for s in step] for step in schedule.steps])  # bool
 
-    # gather chunks: (B, n_steps, 8) -> scan-major (n_steps, B, 8)
+    from .utils import profiling
+
+    if (poseidon._impl() == "pallas" and elements[0].ndim == 2
+            and not profiling.active()):
+        from .ops import transcript_pallas
+
+        # plane-form chunk gather: (B, n_el)[:, src] -> (B, ns, 8) -> (ns, 8, B)
+        ch_hi = jnp.transpose(elements[0][:, src], (1, 2, 0))
+        ch_lo = jnp.transpose(elements[1][:, src], (1, 2, 0))
+        m = jnp.asarray(mask.astype(np.uint32)[:, :, None])
+        return transcript_pallas.run_steps_planes((ch_hi, ch_lo), m)
+
+    # jnp/scan fallback (CPU tests, GSPMD sharding, op-census tracing)
     ch_hi = jnp.moveaxis(elements[0][..., src], elements[0].ndim - 1, 0)
     ch_lo = jnp.moveaxis(elements[1][..., src], elements[1].ndim - 1, 0)
     m = jnp.asarray(mask)
@@ -116,15 +129,15 @@ def run_schedule(schedule, elements):
         state = poseidon.permute(state)
         return state, (state[0][..., :SPONGE_RATE], state[1][..., :SPONGE_RATE])
 
-    from .utils import profiling
     with profiling.multiplier(n_steps):
         _, ys = jax.lax.scan(step_fn, state, (ch_hi, ch_lo, m))
-    return ys
+    # (n_steps, B..., 8) -> (n_steps, 8, B...)
+    return (jnp.moveaxis(ys[0], -1, 1), jnp.moveaxis(ys[1], -1, 1))
 
 
 def extract(ys, ref):
     """Challenge value at a ChallengeRef: Goldilocks pair of (B,) arrays."""
-    return (ys[0][ref.step, ..., ref.lane], ys[1][ref.step, ..., ref.lane])
+    return (ys[0][ref.step, ref.lane], ys[1][ref.step, ref.lane])
 
 
 def extract_ext(ys, ref_pair):

@@ -1,0 +1,193 @@
+"""Differential tests for the fused Pallas hot-path kernels (interpret mode
+on CPU) vs the jnp plane-scan implementations and refimpl pure-int spec.
+
+The fused kernels (ops/merkle_pallas.py, ops/transcript_pallas.py) are what
+the TPU verifier actually runs; these tests pin them bit-exactly to the same
+semantics the rest of the differential chain validates.
+"""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from halo2_plonky2_verifier_tpu.ops import goldilocks as gl_ops
+from halo2_plonky2_verifier_tpu.ops import merkle_pallas, poseidon, transcript_pallas
+from halo2_plonky2_verifier_tpu.refimpl import field as gl_int
+from halo2_plonky2_verifier_tpu.refimpl import poseidon as pos_ref
+from halo2_plonky2_verifier_tpu.utils.compile import smart_jit
+
+RNG = np.random.default_rng(7)
+
+# interpret-mode kernels compiled via smart_jit (XLA:CPU fusion pathology —
+# the unrolled 30-round kernel bodies compile pathologically otherwise)
+_sponge_i = smart_jit(functools.partial(merkle_pallas.hash_no_pad_planes,
+                                        interpret=True))
+_paths_i = smart_jit(functools.partial(merkle_pallas.verify_paths_planes,
+                                       interpret=True))
+_steps_i = smart_jit(functools.partial(transcript_pallas.run_steps_planes,
+                                       interpret=True))
+
+
+def rand_u64(shape):
+    return RNG.integers(0, gl_int.P, size=shape, dtype=np.uint64)
+
+
+def to_planes(x):
+    """(N, w) u64 -> (hi, lo) (w, N) u32 planes."""
+    hi = (x >> np.uint64(32)).astype(np.uint32).T
+    lo = (x & np.uint64(0xFFFFFFFF)).astype(np.uint32).T
+    return jnp.asarray(hi), jnp.asarray(lo)
+
+
+def from_planes(p):
+    """(hi, lo) (w, N) planes -> (N, w) u64."""
+    hi = np.asarray(p[0], dtype=np.uint64).T
+    lo = np.asarray(p[1], dtype=np.uint64).T
+    return (hi << np.uint64(32)) | lo
+
+
+def test_sponge_kernel_vs_refimpl():
+    for w in (5, 8, 9, 16, 32):
+        data = rand_u64((40, w))
+        got = from_planes(
+            _sponge_i(to_planes(data)))
+        for i in range(data.shape[0]):
+            want = pos_ref.hash_no_pad([int(v) for v in data[i]])
+            assert [int(v) for v in got[i]] == want, (w, i)
+
+
+def test_sponge_kernel_vs_jnp_planes():
+    data = rand_u64((33, 12))
+    with poseidon.force_impl("jnp"):
+        want = from_planes(poseidon.hash_no_pad_planes(to_planes(data)))
+    got = from_planes(
+        _sponge_i(to_planes(data)))
+    assert (got == want).all()
+
+
+def _random_paths(n, d_max, depths_per_lane):
+    """Build random path-verification inputs; lanes have varying depths."""
+    node = rand_u64((n, 4))
+    sib = rand_u64((d_max, n, 4))
+    idx = RNG.integers(0, 1 << d_max, size=(n,), dtype=np.uint32)
+    active = np.zeros((d_max, n), dtype=np.uint32)
+    for i, d in enumerate(depths_per_lane):
+        active[:d, i] = 1
+    return node, sib, idx, active
+
+
+def _expected_roots(node, sib, idx, active):
+    """Pure-int reference of the level loop."""
+    n = node.shape[0]
+    d_max = sib.shape[0]
+    out = []
+    for i in range(n):
+        cur = [int(v) for v in node[i]]
+        ix = int(idx[i])
+        for l in range(d_max):
+            if not active[l, i]:
+                continue
+            s = [int(v) for v in sib[l, i]]
+            if ix & 1:
+                cur = pos_ref.two_to_one(s, cur)
+            else:
+                cur = pos_ref.two_to_one(cur, s)
+            ix >>= 1
+        out.append(cur)
+    return np.array(out, dtype=np.uint64)
+
+
+@pytest.mark.parametrize("d_max", [1, 3, 6])
+def test_path_kernel_vs_refimpl(d_max):
+    n = 50
+    depths = [RNG.integers(0, d_max + 1) for _ in range(n)]
+    node, sib, idx, active = _random_paths(n, d_max, depths)
+    want = _expected_roots(node, sib, idx, active)
+
+    node_p = to_planes(node)
+    sib_p_hi = jnp.asarray((sib >> np.uint64(32)).astype(np.uint32)).transpose(0, 2, 1)
+    sib_p_lo = jnp.asarray((sib & np.uint64(0xFFFFFFFF)).astype(np.uint32)).transpose(0, 2, 1)
+    got = from_planes(_paths_i(
+        node_p, (sib_p_hi, sib_p_lo), jnp.asarray(idx), jnp.asarray(active)))
+    assert (got == want).all()
+
+
+def test_path_kernel_vs_jnp_scan():
+    from halo2_plonky2_verifier_tpu.fri import merkle_scan_planes
+
+    n, d_max = 64, 4
+    depths = [RNG.integers(1, d_max + 1) for _ in range(n)]
+    node, sib, idx, active = _random_paths(n, d_max, depths)
+    node_p = to_planes(node)
+    sib_p = (jnp.asarray((sib >> np.uint64(32)).astype(np.uint32)).transpose(0, 2, 1),
+             jnp.asarray((sib & np.uint64(0xFFFFFFFF)).astype(np.uint32)).transpose(0, 2, 1))
+    with poseidon.force_impl("jnp"):
+        want = from_planes(merkle_scan_planes(
+            node_p, jnp.asarray(idx), sib_p, jnp.asarray(active)))
+    got = from_planes(_paths_i(node_p, sib_p, jnp.asarray(idx), jnp.asarray(active)))
+    assert (got == want).all()
+
+
+def test_bn254_permute_kernel_vs_refimpl():
+    from halo2_plonky2_verifier_tpu.ops import bn254 as fr
+    from halo2_plonky2_verifier_tpu.ops import poseidon_bn254_pallas as pbp
+    from halo2_plonky2_verifier_tpu.refimpl import poseidon_bn254 as pb_ref
+
+    rng = np.random.default_rng(11)
+    vals = [[int.from_bytes(rng.bytes(31), "little") % fr.P_INT
+             for _ in range(4)] for _ in range(7)]
+    std = fr.from_ints(vals)
+    mont = smart_jit(fr.to_mont)(std)
+    kern = smart_jit(functools.partial(pbp.permute_mont_batchlast,
+                                       interpret=True))
+    got = fr.to_ints(smart_jit(fr.from_mont)(kern(mont)))
+    for i, v in enumerate(vals):
+        want = [w % fr.P_INT for w in pb_ref.permute(v)]
+        assert [int(x) for x in got[i]] == want, i
+
+
+def test_bn254_planes_vs_batchlast():
+    from halo2_plonky2_verifier_tpu.ops import bn254 as fr
+    from halo2_plonky2_verifier_tpu.ops import bn254_planes as frp
+
+    rng = np.random.default_rng(12)
+    va = [int.from_bytes(rng.bytes(31), "little") % fr.P_INT for _ in range(33)]
+    vb = [int.from_bytes(rng.bytes(31), "little") % fr.P_INT for _ in range(33)]
+    A, B = fr.from_ints(va), fr.from_ints(vb)
+    Ap, Bp = frp.to_planes(A), frp.to_planes(B)
+    got = fr.to_ints(frp.from_planes(smart_jit(frp.mont_mul)(Ap, Bp), (33,)))
+    want = fr.to_ints(smart_jit(fr.mont_mul)(A, B))
+    assert (got == want).all()
+    got = fr.to_ints(frp.from_planes(smart_jit(frp.add_mod)(Ap, Bp), (33,)))
+    assert (got == np.array([(a + b) % fr.P_INT for a, b in zip(va, vb)],
+                            dtype=object)).all()
+
+
+def test_transcript_kernel_vs_jnp_schedule():
+    from halo2_plonky2_verifier_tpu.transcript import (
+        TranscriptSchedule, run_schedule)
+
+    sched = TranscriptSchedule()
+    sched.observe(11)
+    sched.get_n_challenges(3)
+    sched.observe(5)
+    sched.get_n_challenges(12)   # forces a bare permute
+    b, n_el = 9, sched.n_elements
+    els_np = rand_u64((b, n_el))
+    els = ((jnp.asarray((els_np >> np.uint64(32)).astype(np.uint32))),
+           (jnp.asarray((els_np & np.uint64(0xFFFFFFFF)).astype(np.uint32))))
+    with poseidon.force_impl("jnp"):
+        want = run_schedule(sched, els)
+
+    src = np.array([[s if s is not None else 0 for s in st] for st in sched.steps],
+                   dtype=np.int32)
+    mask = np.array([[s is not None for s in st] for st in sched.steps])
+    ch_hi = jnp.transpose(els[0][:, src], (1, 2, 0))
+    ch_lo = jnp.transpose(els[1][:, src], (1, 2, 0))
+    m = jnp.asarray(mask.astype(np.uint32)[:, :, None])
+    got = _steps_i((ch_hi, ch_lo), m)
+    assert (np.asarray(got[0]) == np.asarray(want[0])).all()
+    assert (np.asarray(got[1]) == np.asarray(want[1])).all()

@@ -1,0 +1,102 @@
+"""On-TPU sanity for the fused Pallas kernels: run each against the jnp
+plane-scan path on the real chip and compare bit-exactly.
+
+Usage: python tools/tpu_sanity.py  (expects the axon TPU backend)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    print("backend:", jax.default_backend(), jax.devices()[0].device_kind,
+          flush=True)
+
+    from halo2_plonky2_verifier_tpu.fri import merkle_scan_planes
+    from halo2_plonky2_verifier_tpu.ops import goldilocks as gl
+    from halo2_plonky2_verifier_tpu.ops import merkle_pallas, poseidon
+    from halo2_plonky2_verifier_tpu.ops import transcript_pallas
+
+    rng = np.random.default_rng(3)
+
+    def planes(x):  # (N, w) u64 -> (w, N) u32 pair
+        return (jnp.asarray((x >> np.uint64(32)).astype(np.uint32).T),
+                jnp.asarray((x & np.uint64(0xFFFFFFFF)).astype(np.uint32).T))
+
+    def unplanes(p):
+        hi = np.asarray(p[0], dtype=np.uint64).T
+        lo = np.asarray(p[1], dtype=np.uint64).T
+        return (hi << np.uint64(32)) | lo
+
+    P = (1 << 64) - (1 << 32) + 1
+    n, d_max = 4096, 3
+    node = rng.integers(0, P, size=(n, 4), dtype=np.uint64)
+    sib = rng.integers(0, P, size=(d_max, n, 4), dtype=np.uint64)
+    idx = rng.integers(0, 1 << d_max, size=(n,), dtype=np.uint32)
+    act = (rng.integers(0, 2, size=(d_max, n)) | np.array([[1]] * d_max)
+           ).astype(np.uint32)
+    act = np.sort(act, axis=0)[::-1]  # depth-prefix masks
+
+    node_p = planes(node)
+    sib_p = (jnp.asarray((sib >> np.uint64(32)).astype(np.uint32)).transpose(0, 2, 1),
+             jnp.asarray((sib & np.uint64(0xFFFFFFFF)).astype(np.uint32)).transpose(0, 2, 1))
+
+    t0 = time.time()
+    got = unplanes(jax.jit(merkle_pallas.verify_paths_planes)(
+        node_p, sib_p, jnp.asarray(idx), jnp.asarray(act)))
+    print(f"path kernel compiled+ran in {time.time()-t0:.1f}s", flush=True)
+    with poseidon.force_impl("jnp"):
+        want = unplanes(jax.jit(merkle_scan_planes)(
+            node_p, jnp.asarray(idx), sib_p, jnp.asarray(act)))
+    assert (got == want).all(), "PATH KERNEL MISMATCH"
+    print("path kernel OK", flush=True)
+
+    data = rng.integers(0, P, size=(n, 32), dtype=np.uint64)
+    t0 = time.time()
+    got = unplanes(jax.jit(merkle_pallas.hash_no_pad_planes)(planes(data)))
+    print(f"sponge kernel compiled+ran in {time.time()-t0:.1f}s", flush=True)
+    with poseidon.force_impl("jnp"):
+        want = unplanes(jax.jit(poseidon.hash_no_pad_planes)(planes(data)))
+    assert (got == want).all(), "SPONGE KERNEL MISMATCH"
+    print("sponge kernel OK", flush=True)
+
+    n_steps, b = 30, 512
+    ch = rng.integers(0, P, size=(n_steps, 8, b), dtype=np.uint64)
+    mask = (rng.integers(0, 2, size=(n_steps, 8, 1))).astype(np.uint32)
+    ch_p = (jnp.asarray((ch >> np.uint64(32)).astype(np.uint32)),
+            jnp.asarray((ch & np.uint64(0xFFFFFFFF)).astype(np.uint32)))
+    t0 = time.time()
+    got = jax.jit(transcript_pallas.run_steps_planes)(ch_p, jnp.asarray(mask))
+    got = (np.asarray(got[0]), np.asarray(got[1]))
+    print(f"transcript kernel compiled+ran in {time.time()-t0:.1f}s", flush=True)
+
+    # jnp reference of the same step semantics
+    import jax.numpy as jnp2
+    st = (jnp2.zeros((12, b), jnp2.uint32), jnp2.zeros((12, b), jnp2.uint32))
+    ys_hi, ys_lo = [], []
+    with poseidon.force_impl("jnp"):
+        for s in range(n_steps):
+            m = jnp2.asarray(mask[s] == 1)
+            pre_h = jnp2.where(m, ch_p[0][s], st[0][:8])
+            pre_l = jnp2.where(m, ch_p[1][s], st[1][:8])
+            st = (jnp2.concatenate([pre_h, st[0][8:]], axis=0),
+                  jnp2.concatenate([pre_l, st[1][8:]], axis=0))
+            st = poseidon.permute_planes(st)
+            ys_hi.append(np.asarray(st[0][:8]))
+            ys_lo.append(np.asarray(st[1][:8]))
+    assert (got[0] == np.stack(ys_hi)).all(), "TRANSCRIPT KERNEL MISMATCH hi"
+    assert (got[1] == np.stack(ys_lo)).all(), "TRANSCRIPT KERNEL MISMATCH lo"
+    print("transcript kernel OK", flush=True)
+    print("ALL TPU KERNEL SANITY CHECKS PASSED", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -143,7 +143,9 @@ _PALLAS_MIN_LANES = int(os.environ.get("POSEIDON_PALLAS_MIN_LANES", 1 << 17))
 
 def permute(state):
     """state: (hi, lo) pair of (..., 12) u32 -> permuted pair."""
-    if _impl() == "pallas":
+    from ..utils import profiling
+
+    if _impl() == "pallas" and not profiling.active():
         n = 1
         for d in state[0].shape[:-1]:
             n *= d
@@ -229,13 +231,14 @@ def _partial_round_planes(state, rc):
 def permute_planes(state):
     """(hi, lo) pair of (12, N) u32 planes -> permuted planes.  Dispatches to
     the fused Pallas kernel on TPU for wide N (no transposes either way)."""
+    from ..utils import profiling
+
     n = state[0].shape[1]
-    if _impl() == "pallas" and n >= _PALLAS_MIN_LANES:
+    if (_impl() == "pallas" and n >= _PALLAS_MIN_LANES
+            and not profiling.active()):
         from . import poseidon_pallas
 
         return poseidon_pallas.permute_planes(state[0], state[1])
-
-    from ..utils import profiling
 
     if profiling.active():
         profiling.record("poseidon_permute", n)

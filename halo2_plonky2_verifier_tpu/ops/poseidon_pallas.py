@@ -134,6 +134,50 @@ def permute_planes(hi, lo, interpret=False):
     return out_hi, out_lo
 
 
+@functools.partial(jax.jit, static_argnames=("chain", "interpret"))
+def permute_planes_chained(hi, lo, chain, interpret=False):
+    """`chain` serial permutations with the state VMEM-resident throughout —
+    one HBM read and one write TOTAL.  This is the speed-of-light probe for
+    the roofline accounting (tools/sol_bench.py): it measures the pure
+    compute rate of the permutation with no per-call memory traffic, which
+    is the ceiling the fused Merkle/transcript kernels run against."""
+
+    def kernel(rc_hi_ref, rc_lo_ref, hi_ref, lo_ref, oh_ref, ol_ref):
+        rc_hi, rc_lo = rc_hi_ref[:], rc_lo_ref[:]
+
+        def body(_, st):
+            return _permute_planes(st[0], st[1], rc_hi, rc_lo)
+
+        hi_out, lo_out = jax.lax.fori_loop(
+            0, chain, body, (hi_ref[:], lo_ref[:]))
+        oh_ref[:] = hi_out
+        ol_ref[:] = lo_out
+
+    n = hi.shape[1]
+    n_pad = -n % _TILE
+    if n_pad:
+        hi = jnp.pad(hi, ((0, 0), (0, n_pad)))
+        lo = jnp.pad(lo, ((0, 0), (0, n_pad)))
+    total = hi.shape[1]
+    grid = (total // _TILE,)
+    spec = pl.BlockSpec((W, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+    rc_spec = pl.BlockSpec((W, N_ROUNDS), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    out_hi, out_lo = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[rc_spec, rc_spec, spec, spec],
+        out_specs=(spec, spec),
+        out_shape=(jax.ShapeDtypeStruct((W, total), jnp.uint32),
+                   jax.ShapeDtypeStruct((W, total), jnp.uint32)),
+        interpret=interpret,
+    )(jnp.asarray(_RC_HI), jnp.asarray(_RC_LO), hi, lo)
+    if n_pad:
+        out_hi = out_hi[:, :n]
+        out_lo = out_lo[:, :n]
+    return out_hi, out_lo
+
+
 def permute(state, interpret=False):
     """Drop-in for ops.poseidon.permute: (hi, lo) pair of (..., 12) u32."""
     hi, lo = state

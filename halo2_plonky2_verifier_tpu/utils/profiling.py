@@ -245,9 +245,14 @@ def profile(tree=None):
 
 def profile_verifier(verify_fn, batch):
     """Trace `verify_fn(batch)` abstractly (no execution) while recording the
-    per-scope op census — the MockProver-style static cost profile."""
+    per-scope op census — the MockProver-style static cost profile.
+
+    The lambda wrapper is load-bearing: jax.eval_shape routes through the
+    pjit trace cache (keyed on the function object), so profiling a function
+    that was already jitted+executed would silently reuse the cached jaxpr
+    and record nothing.  A fresh function object forces a fresh trace."""
     with profile() as tree:
-        jax.eval_shape(verify_fn, batch)
+        jax.eval_shape(lambda b: verify_fn(b), batch)
     return tree
 
 

@@ -58,35 +58,53 @@ def measure_gl_mul_sol(n_lanes=1 << 21, chain=256, reps=3):
     return total_muls / best, best
 
 
-def measure_poseidon_sol(n_states=1 << 19, chain=8, reps=3):
-    """Permutations/sec through the fused Pallas kernel on (12, N) planes,
-    chained so nothing overlaps away.  Returns (perm_per_sec, sec)."""
+def measure_poseidon_sol(reps=3):
+    """Peak permutations/sec of the standalone fused Pallas kernel — the
+    ceiling the verifier's fused Merkle/transcript kernels run against.
+
+    Probes two regimes and returns the max (the true ceiling is whichever
+    the scheduler pipelines better on this chip):
+      - chained: serial permutations INSIDE one kernel, state VMEM-resident
+        (one HBM read + one write total; pure compute, but the in-kernel
+        fori_loop can pipeline worse across grid steps);
+      - streamed: one permutation per kernel pass over a very wide plane
+        (HBM traffic per perm, but grid-step double-buffering hides it —
+        the regime the verifier's big level scans actually run in).
+    Returns (perm_per_sec, sec_of_best_probe)."""
     import jax
     import numpy as np
 
     from halo2_plonky2_verifier_tpu.ops import goldilocks as gl
-    from halo2_plonky2_verifier_tpu.ops import poseidon
-    from halo2_plonky2_verifier_tpu.utils.compile import smart_jit
+    from halo2_plonky2_verifier_tpu.ops import poseidon_pallas
+
+    if jax.default_backend() == "cpu":  # pallas-TPU kernel; CPU has no SOL
+        return float("nan"), float("nan")
 
     rng = np.random.default_rng(1)
-    s = rng.integers(0, gl.P, size=(12, n_states), dtype=np.uint64)
-    sp = gl.from_u64(s)
 
-    def chained(sp):
-        for _ in range(chain):
-            sp = poseidon.permute_planes(sp)
-        return sp
-
-    f = smart_jit(chained)
-    out = f(sp)
-    np.asarray(out[0])
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.time()
-        out = f(out)
+    def probe(n_states, fn, perms_per_call):
+        s = rng.integers(0, gl.P, size=(12, n_states), dtype=np.uint64)
+        out = fn(*gl.from_u64(s))
         np.asarray(out[0])
-        best = min(best, time.time() - t0)
-    return n_states * chain / best, best
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            out = fn(out[0], out[1])  # feed back: serially dependent reps
+            np.asarray(out[0])
+            best = min(best, time.time() - t0)
+        return perms_per_call / best, best
+
+    chain = 64
+    n_chained = 1 << 18
+    chained = jax.jit(lambda h, l: poseidon_pallas.permute_planes_chained(
+        h, l, chain=chain))
+    r1, t1 = probe(n_chained, chained, n_chained * chain)
+
+    n_stream = 1 << 21
+    streamed = jax.jit(poseidon_pallas.permute_planes)
+    r2, t2 = probe(n_stream, streamed, n_stream)
+
+    return (r1, t1) if r1 >= r2 else (r2, t2)
 
 
 if __name__ == "__main__":

@@ -41,6 +41,36 @@ def get_fibonacci_proof(num_rows, config=None, cache_dir=None, hasher=None):
     return stark, config, pwp
 
 
+def _prove_one(args):
+    """Top-level worker (picklable) for parallel fixture generation."""
+    num_rows, config, hasher_name, k = args
+    from . import hashers, prover
+
+    stark = FibonacciStark(num_rows)
+    hasher = None if hasher_name is None else getattr(hashers, hasher_name)
+    x0, x1 = 2 * k + 1, 3 * k + 2
+    pis = [x0 % gl.P, x1 % gl.P, fibonacci(num_rows - 1, x0, x1, gl.P)]
+    trace = stark.generate_trace(pis[0], pis[1], gl.P)
+    return prover.prove(stark, config, trace, pis, hasher)
+
+
+def _prove_batch(stark, config, num_rows, count, hasher):
+    """Generate `count` distinct proofs, fanning out over cores for large
+    counts (the proof factory is pure CPU; the native backend is fork-safe)."""
+    hasher_name = None
+    if hasher is not None:
+        # hashers are module-level singletons; pass by attribute name
+        from . import hashers as _h
+        hasher_name = next(n for n in dir(_h)
+                           if getattr(_h, n, None) is hasher)
+    jobs = [(num_rows, config, hasher_name, k) for k in range(count)]
+    if count >= 64:
+        import multiprocessing as mp
+        with mp.Pool(min(mp.cpu_count(), 8)) as pool:
+            return pool.map(_prove_one, jobs, chunksize=8)
+    return [_prove_one(j) for j in jobs]
+
+
 def get_fibonacci_proof_batch(num_rows, count, config=None, cache_dir=None,
                               hasher=None):
     """`count` DISTINCT proofs (varying x0/x1 public inputs), cached as one
@@ -59,14 +89,7 @@ def get_fibonacci_proof_batch(num_rows, count, config=None, cache_dir=None,
             proofs = [proof_from_json(line) for line in f if line.strip()]
         if len(proofs) >= count:
             return stark, config, proofs[:count]
-    from . import prover
-    proofs = []
-    for k in range(count):
-        x0, x1 = 2 * k + 1, 3 * k + 2
-        pis = [x0 % gl.P, x1 % gl.P,
-               fibonacci(num_rows - 1, x0, x1, gl.P)]
-        trace = stark.generate_trace(pis[0], pis[1], gl.P)
-        proofs.append(prover.prove(stark, config, trace, pis, hasher))
+    proofs = _prove_batch(stark, config, num_rows, count, hasher)
     os.makedirs(cache_dir, exist_ok=True)
     with open(path, "w") as f:
         for pwp in proofs:

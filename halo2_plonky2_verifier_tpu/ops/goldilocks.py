@@ -215,7 +215,123 @@ def mul_const_small(a, c):
 
 
 def square(a):
-    return mul(a, a)
+    """a^2 exploiting schoolbook symmetry: 10 limb products instead of 16
+    (off-diagonal products counted twice via their 16-bit halves, which stay
+    doubling-safe in u32)."""
+    from ..utils import profiling
+    if profiling.active():
+        profiling.record("gl_mul", _nelems(a))
+    al = to_limbs(a)
+    cols = [jnp.zeros_like(a[0]) for _ in range(8)]
+    for i in range(4):
+        prod = al[i] * al[i]
+        cols[2 * i] = cols[2 * i] + (prod & _MASK16)
+        cols[2 * i + 1] = cols[2 * i + 1] + (prod >> 16)
+        for j in range(i + 1, 4):
+            prod = al[i] * al[j]  # < 2^32; halves < 2^16 so 2x fits u32
+            cols[i + j] = cols[i + j] + ((prod & _MASK16) << 1)
+            cols[i + j + 1] = cols[i + j + 1] + ((prod >> 16) << 1)
+    limbs = []
+    carry = jnp.zeros_like(a[0])
+    for k in range(8):
+        v = cols[k] + carry
+        limbs.append(v & _MASK16)
+        carry = v >> 16
+    lo64 = from_limbs16(limbs[0:4])
+    hi64 = from_limbs16(limbs[4:8])
+    return reduce128(hi64, lo64)
+
+
+# ----------------------------------------------------------------------------
+# Lazy (non-canonical) variants: values live in [0, 2^64) instead of [0, p).
+# Inside a long pure-arithmetic stretch (the Poseidon permutation rounds) the
+# canonical form is only needed at the very end; skipping _canonicalize saves
+# the compare+select tail of every reduction.  All bounds proven in-line.
+# ----------------------------------------------------------------------------
+
+def canonicalize(a):
+    """Map a lazy value (< 2^64) to canonical (< p)."""
+    return _canonicalize(a)
+
+
+def reduce128_lazy(x_hi, x_lo):
+    """reduce128 without the final canonicalization: result < 2^64.
+
+    Safe for arbitrary u64 (hi, lo) inputs: t0's borrow fix cannot re-borrow
+    (wrapped t0 >= 2^64 - 2^32), and s's carry fix cannot re-carry
+    (t1 <= (2^32-1)^2 keeps wrapped s < 2^64 - 2^33 + 1)."""
+    x_hi_hi = x_hi[0]
+    x_hi_lo = x_hi[1]
+    t0, borrow = _sub64(x_lo, (jnp.uint32(0), x_hi_hi))
+    (bh, bl), _ = _sub64(t0, (jnp.uint32(0), EPSILON))
+    t0 = (jnp.where(borrow.astype(bool), bh, t0[0]),
+          jnp.where(borrow.astype(bool), bl, t0[1]))
+    nz = (x_hi_lo != 0).astype(_U32)
+    t1 = (x_hi_lo - nz, jnp.uint32(0) - x_hi_lo)
+    s, carry = _add64(t0, t1)
+    (ch, cl), _ = _add64(s, (jnp.uint32(0), EPSILON))
+    return (jnp.where(carry.astype(bool), ch, s[0]),
+            jnp.where(carry.astype(bool), cl, s[1]))
+
+
+def add_lazy(a, b):
+    """a + b mod p as a lazy value, for a < 2^64 and b < p (round-constant
+    add).  On carry the wrapped sum is < p so the +2^32-1 fix cannot
+    re-carry."""
+    s, carry = _add64(a, b)
+    (hi2, lo2), _ = _add64(s, (jnp.uint32(0), EPSILON))
+    return (jnp.where(carry.astype(bool), hi2, s[0]),
+            jnp.where(carry.astype(bool), lo2, s[1]))
+
+
+def mul_lazy(a, b):
+    """mul for lazy inputs (< 2^64), lazy output: skips canonicalization."""
+    from ..utils import profiling
+    if profiling.active():
+        profiling.record("gl_mul", max(_nelems(a), _nelems(b)))
+    al = to_limbs(a)
+    bl = to_limbs(b)
+    cols = [jnp.zeros_like(a[0]) for _ in range(8)]
+    for i in range(4):
+        for j in range(4):
+            prod = al[i] * bl[j]
+            cols[i + j] = cols[i + j] + (prod & _MASK16)
+            cols[i + j + 1] = cols[i + j + 1] + (prod >> 16)
+    limbs = []
+    carry = jnp.zeros_like(a[0])
+    for k in range(8):
+        v = cols[k] + carry
+        limbs.append(v & _MASK16)
+        carry = v >> 16
+    lo64 = from_limbs16(limbs[0:4])
+    hi64 = from_limbs16(limbs[4:8])
+    return reduce128_lazy(hi64, lo64)
+
+
+def square_lazy(a):
+    """square for lazy inputs (< 2^64), lazy output."""
+    from ..utils import profiling
+    if profiling.active():
+        profiling.record("gl_mul", _nelems(a))
+    al = to_limbs(a)
+    cols = [jnp.zeros_like(a[0]) for _ in range(8)]
+    for i in range(4):
+        prod = al[i] * al[i]
+        cols[2 * i] = cols[2 * i] + (prod & _MASK16)
+        cols[2 * i + 1] = cols[2 * i + 1] + (prod >> 16)
+        for j in range(i + 1, 4):
+            prod = al[i] * al[j]
+            cols[i + j] = cols[i + j] + ((prod & _MASK16) << 1)
+            cols[i + j + 1] = cols[i + j + 1] + ((prod >> 16) << 1)
+    limbs = []
+    carry = jnp.zeros_like(a[0])
+    for k in range(8):
+        v = cols[k] + carry
+        limbs.append(v & _MASK16)
+        carry = v >> 16
+    lo64 = from_limbs16(limbs[0:4])
+    hi64 = from_limbs16(limbs[4:8])
+    return reduce128_lazy(hi64, lo64)
 
 
 def select(cond, a, b):

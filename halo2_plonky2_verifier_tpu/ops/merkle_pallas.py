@@ -28,13 +28,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants.poseidon_goldilocks import N_ROUNDS, SPONGE_WIDTH
 from . import goldilocks as gl
-from .poseidon_pallas import _RC_HI, _RC_LO, _permute_planes
+from .poseidon_pallas import (_RC_HI, _RC_LO, _permute_planes,
+                              mds_operand, mds_spec)
 
 W = SPONGE_WIDTH
 _TILE = 512  # lanes per grid step (multiple of 128)
 
 
-def _path_kernel(rc_hi_ref, rc_lo_ref, node_hi_ref, node_lo_ref,
+def _path_kernel(rc_hi_ref, rc_lo_ref, mds_ref, node_hi_ref, node_lo_ref,
                  sib_hi_ref, sib_lo_ref, idx_ref, act_ref,
                  out_hi_ref, out_lo_ref):
     """One tile of Merkle paths: fori_loop over levels, each level doing a
@@ -42,6 +43,7 @@ def _path_kernel(rc_hi_ref, rc_lo_ref, node_hi_ref, node_lo_ref,
     d_max = sib_hi_ref.shape[0]
     rc_hi = rc_hi_ref[:]
     rc_lo = rc_lo_ref[:]
+    mds_a = mds_ref[:]
 
     def level(l, carry):
         nh, nl, idx = carry                          # (4,T), (4,T), (1,T)
@@ -55,7 +57,7 @@ def _path_kernel(rc_hi_ref, rc_lo_ref, node_hi_ref, node_lo_ref,
         z = jnp.zeros_like(lh)
         st_h = jnp.concatenate([lh, rh, z], axis=0)  # (12, T)
         st_l = jnp.concatenate([ll, rl, z], axis=0)
-        oh, ol = _permute_planes(st_h, st_l, rc_hi, rc_lo)
+        oh, ol = _permute_planes(st_h, st_l, rc_hi, rc_lo, mds_a)
         act = act_ref[pl.ds(l, 1), :] == np.uint32(1)  # (1, T)
         nh = jnp.where(act, oh[:4, :], nh)
         nl = jnp.where(act, ol[:4, :], nl)
@@ -105,20 +107,21 @@ def verify_paths_planes(node, siblings, idx, active, interpret=False):
     out_hi, out_lo = pl.pallas_call(
         _path_kernel,
         grid=grid,
-        in_specs=[rc_spec, rc_spec, h_spec, h_spec, sib_spec, sib_spec,
-                  idx_spec, act_spec],
+        in_specs=[rc_spec, rc_spec, mds_spec(), h_spec, h_spec, sib_spec,
+                  sib_spec, idx_spec, act_spec],
         out_specs=(h_spec, h_spec),
         out_shape=(jax.ShapeDtypeStruct((4, total), jnp.uint32),
                    jax.ShapeDtypeStruct((4, total), jnp.uint32)),
         interpret=interpret,
-    )(jnp.asarray(_RC_HI), jnp.asarray(_RC_LO), nh, nl, sh, sl, idx2, act)
+    )(jnp.asarray(_RC_HI), jnp.asarray(_RC_LO), mds_operand(),
+      nh, nl, sh, sl, idx2, act)
     if n_pad:
         out_hi = out_hi[:, :n]
         out_lo = out_lo[:, :n]
     return out_hi, out_lo
 
 
-def _sponge_kernel(rc_hi_ref, rc_lo_ref, in_hi_ref, in_lo_ref,
+def _sponge_kernel(rc_hi_ref, rc_lo_ref, mds_ref, in_hi_ref, in_lo_ref,
                    out_hi_ref, out_lo_ref):
     """Leaf sponge over (w, T) planes: overwrite-mode rate-8 absorb, output =
     first 4 state elements (plonky2 hash_n_to_m_no_pad; permutation.rs:286-305,
@@ -127,6 +130,7 @@ def _sponge_kernel(rc_hi_ref, rc_lo_ref, in_hi_ref, in_lo_ref,
     t = in_hi_ref.shape[1]
     rc_hi = rc_hi_ref[:]
     rc_lo = rc_lo_ref[:]
+    mds_a = mds_ref[:]
     st_h = jnp.zeros((W, t), jnp.uint32)
     st_l = jnp.zeros((W, t), jnp.uint32)
     off = 0
@@ -134,7 +138,7 @@ def _sponge_kernel(rc_hi_ref, rc_lo_ref, in_hi_ref, in_lo_ref,
         k = min(8, w - off)
         st_h = jnp.concatenate([in_hi_ref[off:off + k, :], st_h[k:, :]], axis=0)
         st_l = jnp.concatenate([in_lo_ref[off:off + k, :], st_l[k:, :]], axis=0)
-        st_h, st_l = _permute_planes(st_h, st_l, rc_hi, rc_lo)
+        st_h, st_l = _permute_planes(st_h, st_l, rc_hi, rc_lo, mds_a)
         off += k
     out_hi_ref[:] = st_h[:4, :]
     out_lo_ref[:] = st_l[:4, :]
@@ -159,12 +163,12 @@ def hash_no_pad_planes(inputs, interpret=False):
     out_hi, out_lo = pl.pallas_call(
         _sponge_kernel,
         grid=grid,
-        in_specs=[rc_spec, rc_spec, in_spec, in_spec],
+        in_specs=[rc_spec, rc_spec, mds_spec(), in_spec, in_spec],
         out_specs=(out_spec, out_spec),
         out_shape=(jax.ShapeDtypeStruct((4, total), jnp.uint32),
                    jax.ShapeDtypeStruct((4, total), jnp.uint32)),
         interpret=interpret,
-    )(jnp.asarray(_RC_HI), jnp.asarray(_RC_LO), hi, lo)
+    )(jnp.asarray(_RC_HI), jnp.asarray(_RC_LO), mds_operand(), hi, lo)
     if n_pad:
         out_hi = out_hi[:, :n]
         out_lo = out_lo[:, :n]

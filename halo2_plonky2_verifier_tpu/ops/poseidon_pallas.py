@@ -47,12 +47,69 @@ _RC_LO = np.ascontiguousarray((_RC & np.uint64(0xFFFFFFFF)).astype(np.uint32).T)
 _CIRC = [np.uint32(c) for c in MDS_MATRIX_CIRC]
 _DIAG0 = np.uint32(MDS_MATRIX_DIAG[0])
 
+# MDS as an MXU matmul: the circulant+diag 12x12 matrix, replicated per 8-bit
+# limb plane as an (96, 96) block-diagonal operator.  Entries <= 49 and 8-bit
+# limbs are exact in bfloat16; row sums <= 255 * (sum CIRC + DIAG0) < 2^17 are
+# exact in the f32 accumulator.
+_MDS_FULL = np.array([[MDS_MATRIX_CIRC[(j - i) % W] for j in range(W)]
+                      for i in range(W)], dtype=np.float32)
+_MDS_FULL[0, 0] += MDS_MATRIX_DIAG[0]
+_MDS_A = np.kron(np.eye(8, dtype=np.float32), _MDS_FULL)  # (96, 96)
+_MASK8 = np.uint32(0xFF)
+
+
+def mds_operand():
+    """The (96, 96) bf16 MDS matmul operand (kernels can't capture array
+    constants — every fused kernel passes this explicitly)."""
+    return jnp.asarray(_MDS_A, dtype=jnp.bfloat16)
+
+
+def mds_spec():
+    """BlockSpec for the MDS operand (whole matrix in VMEM, any grid)."""
+    return pl.BlockSpec((8 * W, 8 * W), lambda *i: (0, 0),
+                        memory_space=pltpu.VMEM)
+
 
 def _sbox(x):
-    x2 = gl.mul(x, x)
-    x4 = gl.mul(x2, x2)
-    x6 = gl.mul(x4, x2)
-    return gl.mul(x6, x)
+    """x^7 on lazy (< 2^64) planes: 2 squares + 2 muls (52 limb products)."""
+    x2 = gl.square_lazy(x)
+    x4 = gl.square_lazy(x2)
+    x6 = gl.mul_lazy(x4, x2)
+    return gl.mul_lazy(x6, x)
+
+
+def _mds_planes_mxu(hi, lo, mds_a):
+    """MDS over (12, T) lazy planes as one (96,96)@(96,T) bf16 matmul.
+
+    Kills the per-round 44 sublane rolls + 48 VPU multiplies of the roll
+    formulation: the state is split into eight 8-bit limb planes (exact in
+    bf16), the block-diagonal limb-replicated MDS matrix is applied on the
+    MXU with exact f32 accumulation (sums < 2^17), and the result is
+    recombined with one 4-step carry chain + lazy Goldilocks reduction."""
+    l16 = [lo & _MASK16, lo >> 16, hi & _MASK16, hi >> 16]
+    l8 = []
+    for v in l16:
+        l8.append(v & _MASK8)
+        l8.append(v >> 8)
+    # Mosaic has no u32<->bf16 cast; values < 2^8 so the i32/f32 hops are exact
+    x = jnp.concatenate(l8, axis=0).astype(jnp.int32).astype(
+        jnp.float32).astype(jnp.bfloat16)                      # (96, T)
+    y = jax.lax.dot_general(
+        mds_a, x,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32).astype(
+            jnp.uint32)                                         # exact < 2^17
+    ys = [y[m * W:(m + 1) * W] for m in range(8)]
+    cols = [ys[2 * k] + (ys[2 * k + 1] << 8) for k in range(4)]  # < 2^26
+    out_limbs = []
+    carry = jnp.zeros_like(cols[0])
+    for k in range(4):
+        v = cols[k] + carry
+        out_limbs.append(v & _MASK16)
+        carry = v >> 16
+    lo64 = gl.from_limbs16(out_limbs)
+    hi64 = (jnp.zeros_like(carry), carry)
+    return gl.reduce128_lazy(hi64, lo64)
 
 
 def _mds_planes(hi, lo):
@@ -82,26 +139,47 @@ def _mds_planes(hi, lo):
     return gl.reduce128(hi64, lo64)
 
 
-def _permute_planes(hi, lo, rc_hi, rc_lo):
+import os as _os
+
+_MDS_MXU = _os.environ.get("POSEIDON_MDS", "mxu") == "mxu"
+
+
+def _permute_planes(hi, lo, rc_hi, rc_lo, mds_a=None):
     """Full 30-round permutation on (12, T) hi/lo planes (unrolled).
-    rc_hi/rc_lo: (12, 30) round-constant planes."""
+    rc_hi/rc_lo: (12, 30) round-constant planes; mds_a: the (96, 96) bf16
+    MDS operand from mds_operand() (None -> VPU roll formulation).
+
+    Rounds run in the lazy (< 2^64, non-canonical) representation — one
+    canonicalization at the very end instead of a compare+select tail on
+    every add/mul/reduce (ops.goldilocks lazy variants, bounds in-line
+    there)."""
+    use_mxu = _MDS_MXU and mds_a is not None
     state = (hi, lo)
     for rnd in range(N_ROUNDS):
         rc = (rc_hi[:, rnd:rnd + 1], rc_lo[:, rnd:rnd + 1])   # (12, 1)
-        state = gl.add(state, rc)
+        state = gl.add_lazy(state, rc)
         if HALF_N_FULL_ROUNDS <= rnd < HALF_N_FULL_ROUNDS + N_PARTIAL_ROUNDS:
+            # NOTE: the (1, T) sbox runs at 1/8 sublane utilization; packing
+            # it into full vregs needs a (1,T)->(r,128) relayout that Mosaic
+            # cannot lower today ("unsupported shape cast" / concat offset
+            # mismatch) — revisit when Mosaic grows cross-dim reshapes.
             s0 = (state[0][0:1, :], state[1][0:1, :])
             s0 = _sbox(s0)
             state = (jnp.concatenate([s0[0], state[0][1:, :]], axis=0),
                      jnp.concatenate([s0[1], state[1][1:, :]], axis=0))
         else:
             state = _sbox(state)
-        state = _mds_planes(state[0], state[1])
-    return state
+        if use_mxu:
+            state = _mds_planes_mxu(state[0], state[1], mds_a)
+        else:
+            state = _mds_planes(state[0], state[1])
+    return gl.canonicalize(state)
 
 
-def _permute_kernel(rc_hi_ref, rc_lo_ref, hi_ref, lo_ref, oh_ref, ol_ref):
-    hi, lo = _permute_planes(hi_ref[:], lo_ref[:], rc_hi_ref[:], rc_lo_ref[:])
+def _permute_kernel(rc_hi_ref, rc_lo_ref, mds_ref, hi_ref, lo_ref,
+                    oh_ref, ol_ref):
+    hi, lo = _permute_planes(hi_ref[:], lo_ref[:], rc_hi_ref[:], rc_lo_ref[:],
+                             mds_ref[:])
     oh_ref[:] = hi
     ol_ref[:] = lo
 
@@ -122,12 +200,12 @@ def permute_planes(hi, lo, interpret=False):
     out_hi, out_lo = pl.pallas_call(
         _permute_kernel,
         grid=grid,
-        in_specs=[rc_spec, rc_spec, spec, spec],
+        in_specs=[rc_spec, rc_spec, mds_spec(), spec, spec],
         out_specs=(spec, spec),
         out_shape=(jax.ShapeDtypeStruct((W, total), jnp.uint32),
                    jax.ShapeDtypeStruct((W, total), jnp.uint32)),
         interpret=interpret,
-    )(jnp.asarray(_RC_HI), jnp.asarray(_RC_LO), hi, lo)
+    )(jnp.asarray(_RC_HI), jnp.asarray(_RC_LO), mds_operand(), hi, lo)
     if n_pad:
         out_hi = out_hi[:, :n]
         out_lo = out_lo[:, :n]
@@ -142,11 +220,12 @@ def permute_planes_chained(hi, lo, chain, interpret=False):
     compute rate of the permutation with no per-call memory traffic, which
     is the ceiling the fused Merkle/transcript kernels run against."""
 
-    def kernel(rc_hi_ref, rc_lo_ref, hi_ref, lo_ref, oh_ref, ol_ref):
+    def kernel(rc_hi_ref, rc_lo_ref, mds_ref, hi_ref, lo_ref, oh_ref, ol_ref):
         rc_hi, rc_lo = rc_hi_ref[:], rc_lo_ref[:]
+        mds_a = mds_ref[:]
 
         def body(_, st):
-            return _permute_planes(st[0], st[1], rc_hi, rc_lo)
+            return _permute_planes(st[0], st[1], rc_hi, rc_lo, mds_a)
 
         hi_out, lo_out = jax.lax.fori_loop(
             0, chain, body, (hi_ref[:], lo_ref[:]))
@@ -166,12 +245,12 @@ def permute_planes_chained(hi, lo, chain, interpret=False):
     out_hi, out_lo = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[rc_spec, rc_spec, spec, spec],
+        in_specs=[rc_spec, rc_spec, mds_spec(), spec, spec],
         out_specs=(spec, spec),
         out_shape=(jax.ShapeDtypeStruct((W, total), jnp.uint32),
                    jax.ShapeDtypeStruct((W, total), jnp.uint32)),
         interpret=interpret,
-    )(jnp.asarray(_RC_HI), jnp.asarray(_RC_LO), hi, lo)
+    )(jnp.asarray(_RC_HI), jnp.asarray(_RC_LO), mds_operand(), hi, lo)
     if n_pad:
         out_hi = out_hi[:, :n]
         out_lo = out_lo[:, :n]

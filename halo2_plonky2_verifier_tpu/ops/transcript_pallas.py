@@ -20,14 +20,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants.poseidon_goldilocks import N_ROUNDS, SPONGE_RATE, SPONGE_WIDTH
-from .poseidon_pallas import _RC_HI, _RC_LO, _permute_planes
+from .poseidon_pallas import (_RC_HI, _RC_LO, _permute_planes,
+                              mds_operand, mds_spec)
 
 W = SPONGE_WIDTH
 R = SPONGE_RATE
 _TILE = 256  # batch lanes per grid step (n_steps * 8 * T * 2 words live in VMEM)
 
 
-def _transcript_kernel(rc_hi_ref, rc_lo_ref, mask_ref, ch_hi_ref, ch_lo_ref,
+def _transcript_kernel(rc_hi_ref, rc_lo_ref, mds_ref, mask_ref,
+                       ch_hi_ref, ch_lo_ref,
                        ys_hi_ref, ys_lo_ref):
     """All transcript steps for one batch tile.  Per step: overwrite masked
     rate lanes with the observed chunk (overwrite-mode absorb,
@@ -36,6 +38,7 @@ def _transcript_kernel(rc_hi_ref, rc_lo_ref, mask_ref, ch_hi_ref, ch_lo_ref,
     t = ch_hi_ref.shape[2]
     rc_hi = rc_hi_ref[:]
     rc_lo = rc_lo_ref[:]
+    mds_a = mds_ref[:]
 
     def step(s, carry):
         st_h, st_l = carry
@@ -46,7 +49,7 @@ def _transcript_kernel(rc_hi_ref, rc_lo_ref, mask_ref, ch_hi_ref, ch_lo_ref,
         pre_l = jnp.where(m, clo, st_l[:R, :])
         st_h = jnp.concatenate([pre_h, st_h[R:, :]], axis=0)
         st_l = jnp.concatenate([pre_l, st_l[R:, :]], axis=0)
-        st_h, st_l = _permute_planes(st_h, st_l, rc_hi, rc_lo)
+        st_h, st_l = _permute_planes(st_h, st_l, rc_hi, rc_lo, mds_a)
         ys_hi_ref[s] = st_h[:R, :]
         ys_lo_ref[s] = st_l[:R, :]
         return st_h, st_l
@@ -76,12 +79,13 @@ def run_steps_planes(chunks, mask, interpret=False):
     ys_hi, ys_lo = pl.pallas_call(
         _transcript_kernel,
         grid=grid,
-        in_specs=[rc_spec, rc_spec, mask_spec, ch_spec, ch_spec],
+        in_specs=[rc_spec, rc_spec, mds_spec(), mask_spec, ch_spec, ch_spec],
         out_specs=(ch_spec, ch_spec),
         out_shape=(jax.ShapeDtypeStruct((n_steps, R, total), jnp.uint32),
                    jax.ShapeDtypeStruct((n_steps, R, total), jnp.uint32)),
         interpret=interpret,
-    )(jnp.asarray(_RC_HI), jnp.asarray(_RC_LO), mask, ch_hi, ch_lo)
+    )(jnp.asarray(_RC_HI), jnp.asarray(_RC_LO), mds_operand(), mask,
+      ch_hi, ch_lo)
     if b_pad:
         ys_hi = ys_hi[:, :, :b]
         ys_lo = ys_lo[:, :, :b]

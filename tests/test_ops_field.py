@@ -154,3 +154,39 @@ def test_poseidon_absorb_matches_reference():
     for i in range(B):
         want = pos_ref.absorb([0] * 12, [int(x) for x in data[i]])
         assert list(map(int, out[i])) == want
+
+
+def test_square_and_lazy_ops():
+    """The lazy (non-canonical < 2^64) mul/square/add variants used inside
+    the Pallas permutation rounds: results must be congruent mod p to the
+    canonical ops for arbitrary u64 (not just < p) inputs, and canonicalize
+    must land them back in [0, p)."""
+    rng = np.random.default_rng(11)
+    # include values in [p, 2^64) to exercise the lazy domain
+    a64 = rng.integers(0, 1 << 64, size=(512,), dtype=np.uint64)
+    b64 = rng.integers(0, 1 << 64, size=(512,), dtype=np.uint64)
+    a = gl_ops.from_u64(a64)
+    b = gl_ops.from_u64(b64)
+
+    got = gl_ops.to_u64(jax.tree_util.tree_map(
+        np.asarray, gl_ops.canonicalize(gl_ops.mul_lazy(a, b))))
+    want = (a64.astype(object) * b64.astype(object)) % gl.P
+    assert (got.astype(object) == want).all()
+
+    got_sq = gl_ops.to_u64(jax.tree_util.tree_map(
+        np.asarray, gl_ops.canonicalize(gl_ops.square_lazy(a))))
+    want_sq = (a64.astype(object) * a64.astype(object)) % gl.P
+    assert (got_sq.astype(object) == want_sq).all()
+
+    # canonical square must equal mul(a, a) for canonical inputs
+    ac = gl_ops.from_u64(a64 % np.uint64(gl.P))
+    got_c = gl_ops.to_u64(jax.tree_util.tree_map(np.asarray, gl_ops.square(ac)))
+    want_c = gl_ops.to_u64(jax.tree_util.tree_map(np.asarray, gl_ops.mul(ac, ac)))
+    assert (got_c == want_c).all()
+
+    # add_lazy: a < 2^64, b < p
+    bc = gl_ops.from_u64(b64 % np.uint64(gl.P))
+    got_add = gl_ops.to_u64(jax.tree_util.tree_map(
+        np.asarray, gl_ops.canonicalize(gl_ops.add_lazy(a, bc))))
+    want_add = (a64.astype(object) + (b64 % np.uint64(gl.P)).astype(object)) % gl.P
+    assert (got_add.astype(object) == want_add).all()

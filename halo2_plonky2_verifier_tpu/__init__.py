@@ -12,14 +12,20 @@ Public API:
     StarkConfig.standard_fast_config()
     models.fibonacci.FibonacciStark
     refimpl.prover.prove (pure-Python proof factory / executable spec)
+    plonk.build_plonk_verifier / load_plonk_proofs / plonk_proof_shape
+        (plonky2 PLONK proofs; circuits + prover in refimpl.plonk)
 """
 
+from .plonk import build_plonk_verifier, load_plonk_proofs, plonk_proof_shape
 from .stark import build_verifier
 from .utils.config import FriConfig, FriParams, StarkConfig
 from .witness import ProofBatch, ProofShape, load_proofs, proof_shape
 
 __all__ = [
     "build_verifier",
+    "build_plonk_verifier",
+    "load_plonk_proofs",
+    "plonk_proof_shape",
     "FriConfig",
     "FriParams",
     "StarkConfig",

@@ -112,6 +112,30 @@ def redc(t_cols):
     return cond_sub_p(s[N_LIMBS:])
 
 
+def redc_lazy(t_cols):
+    """Montgomery reduction WITHOUT the final conditional subtraction:
+    returns (t + m*p)/R with strict u16 limbs, value <= t/R + p (possibly
+    >= p).  Used inside the Poseidon-BN254 rounds, where values are allowed
+    to drift in [0, ~1.6p] (bounds: ops/poseidon_bn254_pallas.py) and a
+    single cond_sub_p at kernel exit restores canonical form.  The limb
+    strictness school() needs is preserved (normalize is exact for any
+    column magnitudes < 2^26)."""
+    t, _ = normalize(t_cols)
+    m_raw = school_const(t[:N_LIMBS], _NPRIME_NP, out_rows=N_LIMBS)
+    m, _ = normalize(m_raw)
+    u_raw = school_const(m, _P_NP)
+    s_raw = t + u_raw
+    s, _ = normalize(s_raw)
+    return s[N_LIMBS:]
+
+
+def add_lazy(a, b):
+    """a + b with carry normalization only (no mod-p subtraction): exact as
+    long as a + b < 2^256 (callers keep values < ~3p < 2^256)."""
+    s, _ = normalize(a + b)
+    return s
+
+
 def mont_mul(a, b):
     return redc(school(a, b))
 

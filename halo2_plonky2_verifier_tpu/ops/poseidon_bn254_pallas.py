@@ -28,10 +28,11 @@ _TILE = 256  # batch lanes per grid step
 
 _M_NP = None   # (4, 4, 16) u32 host Montgomery-form MDS limb tables
 _RC_NP = None  # (rounds, 64, 1) u32 Montgomery-form round-constant planes
+_A_NP = None   # (256, 128) f32 conv-matmul MDS operand (8-bit limb blocks)
 
 
 def _get_tables():
-    global _M_NP, _RC_NP
+    global _M_NP, _RC_NP, _A_NP
     if _M_NP is None:
         c, m = generate()
         mm = np.zeros((WIDTH, WIDTH, fr.N_LIMBS), dtype=np.uint32)
@@ -46,14 +47,71 @@ def _get_tables():
                 v = c[r * WIDTH + i] * fr.R_INT % fr.P_INT
                 for k in range(fr.N_LIMBS):
                     rc[r, i * fr.N_LIMBS + k, 0] = (v >> (16 * k)) & 0xFFFF
-        _M_NP, _RC_NP = mm, rc
+        # MDS as one MXU matmul: the full-width Fr multiply out[i] = sum_j
+        # M[i,j] * x[j] is a LINEAR map of x's 8-bit limbs, i.e. a limb
+        # convolution -> a (256, 128) matrix.  Layout (all host-side, so
+        # the device slices are vreg-aligned):
+        #   X rows (j*32 + m):        lo8 of 16-bit limb m of element j
+        #          (j*32 + 16 + m):   hi8 of limb m         (8-bit pos 2m+1)
+        #   Y rows (i*64 + k):        even conv column c = 2k   (k 0..31)
+        #          (i*64 + 32 + k):   odd  conv column c = 2k+1 (k 0..30)
+        #          (i*64 + 63):       zero (roll-wrap guard)
+        # Entries <= 255 (exact in bf16); per-row sums <= 128 * 255^2 < 2^24
+        # (exact in the f32 accumulator).
+        a_np = np.zeros((4 * 64, 4 * 32), dtype=np.float32)
+        for i in range(WIDTH):
+            for j in range(WIDTH):
+                v = m[i][j] * fr.R_INT % fr.P_INT
+                m8 = [(v >> (8 * t)) & 0xFF for t in range(32)]
+                for col in range(32):
+                    b = 2 * (col % 16) + (1 if col >= 16 else 0)
+                    for cc in range(b, min(b + 32, 63)):
+                        row = (i * 64 + cc // 2 if cc % 2 == 0
+                               else i * 64 + 32 + cc // 2)
+                        a_np[row, j * 32 + col] = m8[cc - b]
+        _M_NP, _RC_NP, _A_NP = mm, rc, a_np
     return _M_NP, _RC_NP
 
 
+def _get_mds_a():
+    _get_tables()
+    return _A_NP
+
+
 def _sbox5(x):
-    x2 = frp.mont_sq(x)
-    x4 = frp.mont_sq(x2)
-    return frp.redc(frp.school(x4, x))
+    """x^5 with lazy Montgomery reductions (no per-step cond_sub; value
+    bounds stay < ~2.6p and cycle stably — see _permute_kernel note)."""
+    x2 = frp.redc_lazy(frp.school(x, x))
+    x4 = frp.redc_lazy(frp.school(x2, x2))
+    return frp.redc_lazy(frp.school(x4, x))
+
+
+def _mix_mxu(st, a_mat):
+    """MDS over 4 (16, T) planes as one (256,128)@(128,T) bf16 matmul.
+
+    The state's 8-bit limb planes go through the conv matrix (exact: f32
+    sums < 2^24); the 63 8-bit output columns per element are recombined
+    into 32 16-bit raw columns (< 2^25) and Montgomery-reduced with the
+    usual cond_sub (the one subtraction per round that keeps the lazy
+    value bounds cycling at ~1.6p instead of diverging)."""
+    blocks = []
+    for j in range(WIDTH):
+        blocks.append(st[j] & np.uint32(0xFF))
+        blocks.append(st[j] >> 8)
+    x = jnp.concatenate(blocks, axis=0).astype(jnp.int32).astype(
+        jnp.float32).astype(jnp.bfloat16)                       # (128, T)
+    y = jax.lax.dot_general(
+        a_mat, x, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32).astype(
+            jnp.uint32)                                          # (256, T)
+    out = []
+    for i in range(WIDTH):
+        evens = y[i * 64:i * 64 + 32]                            # c = 2k
+        odds = y[i * 64 + 32:i * 64 + 64]                        # c = 2k+1
+        cols16 = (evens + ((odds & np.uint32(0xFF)) << 8)
+                  + (pltpu.roll(odds, 1, 0) >> 8))               # < 2^25
+        out.append(frp.redc(cols16))
+    return tuple(out)
 
 
 def _mix(st, m_np):
@@ -72,26 +130,32 @@ def _split(state, t):
     return tuple(state[16 * i:16 * (i + 1), :] for i in range(WIDTH))
 
 
-def _permute_kernel(rc_ref, in_ref, out_ref):
-    m_np, _ = _get_tables()
+def _permute_kernel(rc_ref, mds_ref, in_ref, out_ref):
+    """Lazy-Montgomery rounds: values drift in [0, ~2.6p) with exactly one
+    conditional subtraction per round (inside the mix REDC) — enough to keep
+    the bound cycling (out <= t/R + p with t <= 4p * 2.6p and R/p ~ 5.3
+    gives ~2.6p before, ~1.6p after the mix cond_sub) — plus one cond_sub
+    per element at kernel exit for canonical output."""
     t = in_ref.shape[1]
     st = _split(in_ref[:], t)
+    a_mat = mds_ref[:]
 
     def round_body(r, st, full):
         rc = rc_ref[r]                                # (64, 1)
-        st = tuple(frp.add_mod(st[i], rc[16 * i:16 * (i + 1)])
+        st = tuple(frp.add_lazy(st[i], rc[16 * i:16 * (i + 1)])
                    for i in range(WIDTH))
         if full:
             st = tuple(_sbox5(s) for s in st)
         else:
             st = (_sbox5(st[0]),) + st[1:]
-        return _mix(st, m_np)
+        return _mix_mxu(st, a_mat)
 
     st = jax.lax.fori_loop(0, _HALF, lambda r, s: round_body(r, s, True), st)
     st = jax.lax.fori_loop(_HALF, _ROUNDS - _HALF,
                            lambda r, s: round_body(r, s, False), st)
     st = jax.lax.fori_loop(_ROUNDS - _HALF, _ROUNDS,
                            lambda r, s: round_body(r, s, True), st)
+    st = tuple(frp.cond_sub_p(s) for s in st)         # lazy -> canonical
     out_ref[:] = jnp.concatenate(st, axis=0)
 
 
@@ -108,14 +172,16 @@ def permute_mont_planes(state, interpret=False):
                         memory_space=pltpu.VMEM)
     rc_spec = pl.BlockSpec((_ROUNDS, WIDTH * fr.N_LIMBS, 1),
                            lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    mds_spec = pl.BlockSpec((4 * 64, 4 * 32), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _permute_kernel,
         grid=grid,
-        in_specs=[rc_spec, spec],
+        in_specs=[rc_spec, mds_spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((WIDTH * fr.N_LIMBS, total), jnp.uint32),
         interpret=interpret,
-    )(jnp.asarray(rc_np), state)
+    )(jnp.asarray(rc_np), jnp.asarray(_get_mds_a(), dtype=jnp.bfloat16), state)
     if n_pad:
         out = out[:, :n]
     return out

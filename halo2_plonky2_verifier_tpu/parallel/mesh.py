@@ -29,6 +29,9 @@ def make_mesh(devices=None, dp=None, qp=None):
         dp = n // qp
     assert dp * qp == n, (dp, qp, n)
     arr = np.array(devices).reshape(dp, qp)
+    from ..utils.logging import get_logger
+    get_logger(__name__).info("make_mesh: dp=%d qp=%d over %d %s device(s)",
+                              dp, qp, n, devices[0].platform)
     return Mesh(arr, ("dp", "qp"))
 
 
@@ -125,7 +128,7 @@ def sharded_verifier(stark, config, degree_bits, mesh, check_vanishing=True):
     (transcript, vanishing check) replicates over qp; the verdict AND-reduces
     over qp inside the mapped function (jax.lax.pmin — the psum-style
     collective of SURVEY.md §2c) and comes out dp-sharded."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from ..stark import build_verifier
     from ..utils.compile import smart_jit

@@ -136,9 +136,15 @@ def build_verifier(stark, config, degree_bits, check_vanishing=True,
     shard; each shard verifies its local query slice (Pallas kernels run
     locally — no GSPMD fallback) and the verdict AND-reduces over the axis."""
     from .hashing import get_hash_ops
+    from .utils.logging import get_logger
 
     shape = proof_shape(stark, config, degree_bits, hasher)
     H = get_hash_ops(hasher)
+    get_logger(__name__).info(
+        "build_verifier: %s n=2^%d queries=%d arities=%s hasher=%s "
+        "vanishing=%s qshard=%s", type(stark).__name__, degree_bits,
+        shape.num_queries, list(shape.reduction_arity_bits), hasher,
+        check_vanishing, query_shard_axis)
 
     from .utils.profiling import scope
 

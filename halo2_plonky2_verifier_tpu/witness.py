@@ -133,6 +133,11 @@ def _u64(x):
 
 def load_proofs(proofs, shape: ProofShape) -> ProofBatch:
     """proofs: list of refimpl.proof.StarkProofWithPublicInputs (same shape)."""
+    import time as _time
+
+    from .utils.logging import get_logger
+    _log = get_logger(__name__)
+    _t0 = _time.monotonic()
     B = len(proofs)
     S = shape
     bn254 = S.hasher == "poseidon_bn254"
@@ -203,6 +208,8 @@ def load_proofs(proofs, shape: ProofShape) -> ProofBatch:
     def dev(x):
         return None if x is None else gl.from_u64(x)
 
+    _log.debug("load_proofs: B=%d n=2^%d hasher=%s in %.2fs",
+               B, S.degree_bits, S.hasher, _time.monotonic() - _t0)
     return ProofBatch(
         shape=S,
         trace_cap=trace_cap, zs_cap=zs_cap, quotient_cap=quotient_cap,

@@ -50,3 +50,25 @@ def test_profile_inactive_is_free():
     profiling.record("gl_mul", 123)  # no crash, no effect
     with profiling.scope("x"):
         pass
+
+
+def test_logging_layer(capsys):
+    """utils.logging: env_logger-style level filtering with per-module
+    overrides (SURVEY.md §5 metrics/logging component)."""
+    from halo2_plonky2_verifier_tpu.utils import logging as flog
+
+    log = flog.get_logger("halo2_plonky2_verifier_tpu.witness")
+    other = flog.get_logger("halo2_plonky2_verifier_tpu.stark")
+    flog.set_level("info")
+    log.debug("hidden %d", 1)
+    log.info("shown %d", 2)
+    flog.set_level("halo2_plonky2_verifier_tpu.witness=trace,error")
+    log.trace("witness-trace")
+    other.warn("stark-warn-hidden")
+    err = capsys.readouterr().err
+    assert "hidden 1" not in err
+    assert "shown 2" in err
+    assert "witness-trace" in err
+    assert "stark-warn-hidden" not in err
+    assert log.enabled(flog.TRACE)
+    flog.set_level("warn")  # restore default

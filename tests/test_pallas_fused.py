@@ -191,3 +191,26 @@ def test_transcript_kernel_vs_jnp_schedule():
     got = _steps_i((ch_hi, ch_lo), m)
     assert (np.asarray(got[0]) == np.asarray(want[0])).all()
     assert (np.asarray(got[1]) == np.asarray(want[1])).all()
+
+
+def test_poseidon_kernel_mds_paths():
+    """Both MDS formulations of the fused permutation kernel — the (96,96)
+    bf16 MXU matmul and the sublane-roll VPU fallback — must match refimpl
+    bit-exactly (incl. the lazy-rounds/final-canonicalize restructuring)."""
+    from halo2_plonky2_verifier_tpu.ops import poseidon_pallas as pp
+
+    old = pp._MDS_MXU
+    try:
+        # distinct lane counts per variant: permute_planes is jit-cached, so
+        # a same-shape call after flipping the flag would NOT retrace
+        for mxu, n in ((True, 256), (False, 384)):
+            pp._MDS_MXU = mxu
+            s = rand_u64((12, n))
+            hi, lo = gl_ops.from_u64(s)
+            want = np.array([pos_ref.permute([int(v) for v in s[:, i]])
+                             for i in range(n)], dtype=np.uint64).T
+            oh, ol = pp.permute_planes(hi, lo, interpret=True)
+            got = gl_ops.to_u64((np.asarray(oh), np.asarray(ol)))
+            assert np.array_equal(got, want), f"mxu={mxu}"
+    finally:
+        pp._MDS_MXU = old

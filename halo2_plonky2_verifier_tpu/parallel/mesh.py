@@ -139,7 +139,7 @@ def sharded_verifier(stark, config, degree_bits, mesh, check_vanishing=True):
     def make(batch):
         in_specs = batch_pspecs(batch)
         mapped = shard_map(vf, mesh=mesh, in_specs=(in_specs,),
-                           out_specs=P("dp"), check_rep=False)
+                           out_specs=P("dp"), check_vma=False)
         return smart_jit(mapped)
 
     # one-shot wrapper: specs depend only on the batch SHAPE, so cache per

@@ -7,9 +7,11 @@ permutation resident in VMEM: one HBM read of the input states, one write of
 the outputs.
 
 Layout: states are processed as (12, N) planes — state element index on the
-sublane axis, batch on the 128-wide lane axis — so the circulant MDS layer is
-11 sublane rolls of raw u16-limb products (column sums < 2^26) with a single
-modular reduction per element, and every other op is a (12, TILE)-wide VPU op.
+sublane axis, batch on the 128-wide lane axis.  The circulant MDS layer runs
+on the MXU as one (96,96)@(96,T) bf16 matmul per round over 8-bit limb planes
+(exact: f32 accumulator sums < 2^17); rounds use the lazy non-canonical
+(< 2^64) Goldilocks forms with a single canonicalization at kernel exit.  A
+VPU sublane-roll MDS fallback remains selectable via POSEIDON_MDS=rolls.
 
 Differentially tested against ops.poseidon (jnp) and refimpl (ints); used by
 ops.poseidon when the backend is TPU (POSEIDON_IMPL=jnp opts out).
@@ -159,10 +161,10 @@ def _permute_planes(hi, lo, rc_hi, rc_lo, mds_a=None):
         rc = (rc_hi[:, rnd:rnd + 1], rc_lo[:, rnd:rnd + 1])   # (12, 1)
         state = gl.add_lazy(state, rc)
         if HALF_N_FULL_ROUNDS <= rnd < HALF_N_FULL_ROUNDS + N_PARTIAL_ROUNDS:
-            # NOTE: the (1, T) sbox runs at 1/8 sublane utilization; packing
-            # it into full vregs needs a (1,T)->(r,128) relayout that Mosaic
-            # cannot lower today ("unsupported shape cast" / concat offset
-            # mismatch) — revisit when Mosaic grows cross-dim reshapes.
+            # NOTE: the (1, T) sbox runs at 1/8 sublane utilization; a
+            # limb-convolution (8,T) formulation and Mosaic-side repacking
+            # were both tried and measured neutral-to-negative in situ
+            # (bench 32.7k vs 31.9k proofs/s) — the row form stays.
             s0 = (state[0][0:1, :], state[1][0:1, :])
             s0 = _sbox(s0)
             state = (jnp.concatenate([s0[0], state[0][1:, :]], axis=0),

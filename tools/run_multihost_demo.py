@@ -3,6 +3,13 @@ virtual CPU devices, form one global (dp, qp) mesh via jax.distributed — the
 no-cluster analog of a multi-host TPU pod slice (1 chip -> 1 host -> N hosts,
 SURVEY.md §2 accounting).
 
+Exercises the REAL multi-host path (parallel/distributed.py): each process
+loads only its own slice of the proof batch, `global_batch` assembles global
+arrays from the per-host data without any cross-host copy of proof bytes,
+the shard_map verifier runs over the global mesh (dp spans processes = the
+DCN axis; qp stays inside a process = the ICI axis), and each host reads
+back only its local verdict slice.
+
 Run:   python tools/run_multihost_demo.py            # launches 2 workers
 Inner: python tools/run_multihost_demo.py worker <i> <n> <port>
 """
@@ -24,64 +31,46 @@ def worker(proc_id, num_procs, port):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.distributed.initialize(
-        coordinator_address=f"localhost:{port}",
-        num_processes=num_procs,
-        process_id=proc_id,
-    )
+    from halo2_plonky2_verifier_tpu.parallel import distributed as dist
+
+    dist.initialize(coordinator_address=f"localhost:{port}",
+                    num_processes=num_procs, process_id=proc_id)
     assert jax.process_count() == num_procs
     n_global = num_procs * DEVICES_PER_PROC
+
+    import copy
 
     import numpy as np
 
     from halo2_plonky2_verifier_tpu import load_proofs, proof_shape
-    from halo2_plonky2_verifier_tpu.parallel.distributed import local_batch_slice
-    from halo2_plonky2_verifier_tpu.parallel.mesh import (
-        batch_shardings, make_mesh, sharded_verifier)
     from halo2_plonky2_verifier_tpu.refimpl.fixtures import get_fibonacci_proof
 
     # dp spans processes (DCN-analog), qp stays within a process (ICI-analog)
-    mesh = make_mesh(jax.devices(), dp=n_global // 2, qp=2)
+    mesh = dist.global_mesh(dp=n_global // 2, qp=2)
     stark, config, pwp = get_fibonacci_proof(8)
     degree_bits = pwp.proof.recover_degree_bits(config)
     shape = proof_shape(stark, config, degree_bits)
 
-    import copy
+    # each process loads ONLY its slice of the global batch
+    global_b = n_global
+    global_bad = 3
+    start, size = dist.local_batch_slice(global_b)
+    proofs = [copy.deepcopy(pwp) for _ in range(size)]
+    if start <= global_bad < start + size:
+        proofs[global_bad - start].proof.opening_proof.pow_witness ^= 1
+    local = load_proofs(proofs, shape)
 
-    global_b = n_global  # one proof per dp shard x2... keep = n_global
-    proofs = [copy.deepcopy(pwp) for _ in range(global_b)]
-    proofs[3].proof.opening_proof.pow_witness ^= 1  # one bad lane, globally
+    gbatch = dist.global_batch(local, mesh)        # no proof bytes cross DCN
+    verify = dist.distributed_verifier(stark, config, degree_bits, mesh)
+    verdict = verify(gbatch)                       # (B,) dp-sharded global
+    mine = dist.local_verdict(verdict)             # this host's slice
 
-    batch = load_proofs(proofs, shape)  # host-local copy of the global batch
-    shardings = batch_shardings(batch, mesh)
-    # form global arrays from per-host data
-    import jax.numpy as jnp
-
-    def make_global(x, s):
-        return jax.make_array_from_callback(
-            x.shape, s, lambda idx: np.asarray(x[idx]))
-
-    gbatch = jax.tree_util.tree_map(make_global, batch, shardings)
-
-    # replicated output so every process can read the full verdict
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from halo2_plonky2_verifier_tpu.ops.poseidon import force_impl
-    from halo2_plonky2_verifier_tpu.stark import build_verifier
-    from halo2_plonky2_verifier_tpu.utils.compile import smart_jit
-
-    vf = build_verifier(stark, config, degree_bits)
-
-    def vf_jnp(b):
-        with force_impl("jnp"):
-            return vf(b)
-
-    verify = smart_jit(vf_jnp, out_shardings=NamedSharding(mesh, P()))
-    verdict = np.asarray(verify(gbatch))
-    expect = [True] * global_b
-    expect[3] = False
-    print(f"[proc {proc_id}] verdict:", list(verdict), flush=True)
-    assert list(verdict) == expect
+    expect = [True] * size
+    if start <= global_bad < start + size:
+        expect[global_bad - start] = False
+    print(f"[proc {proc_id}] local verdict [{start}:{start+size}]:",
+          list(mine), flush=True)
+    assert list(mine) == expect, (list(mine), expect)
 
 
 def main():

@@ -50,13 +50,17 @@ _CIRC = [np.uint32(c) for c in MDS_MATRIX_CIRC]
 _DIAG0 = np.uint32(MDS_MATRIX_DIAG[0])
 
 # MDS as an MXU matmul: the circulant+diag 12x12 matrix, replicated per 8-bit
-# limb plane as an (96, 96) block-diagonal operator.  Entries <= 49 and 8-bit
-# limbs are exact in bfloat16; row sums <= 255 * (sum CIRC + DIAG0) < 2^17 are
-# exact in the f32 accumulator.
+# limb plane as a block-diagonal operator.  Entries <= 49 and 8-bit limbs are
+# exact in bfloat16; row sums <= 255 * (sum CIRC + DIAG0) < 2^17 are exact in
+# the f32 accumulator.  Output blocks are padded to 16 rows (128 total) so
+# the per-limb output slices land on vreg-aligned sublane offsets — the MXU
+# pads to 128 rows anyway, so the extra rows are free.
 _MDS_FULL = np.array([[MDS_MATRIX_CIRC[(j - i) % W] for j in range(W)]
                       for i in range(W)], dtype=np.float32)
 _MDS_FULL[0, 0] += MDS_MATRIX_DIAG[0]
-_MDS_A = np.kron(np.eye(8, dtype=np.float32), _MDS_FULL)  # (96, 96)
+_MDS_A = np.zeros((128, 96), dtype=np.float32)
+for _m in range(8):
+    _MDS_A[_m * 16:_m * 16 + W, _m * W:(_m + 1) * W] = _MDS_FULL
 _MASK8 = np.uint32(0xFF)
 
 
@@ -68,7 +72,7 @@ def mds_operand():
 
 def mds_spec():
     """BlockSpec for the MDS operand (whole matrix in VMEM, any grid)."""
-    return pl.BlockSpec((8 * W, 8 * W), lambda *i: (0, 0),
+    return pl.BlockSpec((128, 8 * W), lambda *i: (0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -101,7 +105,7 @@ def _mds_planes_mxu(hi, lo, mds_a):
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(jnp.int32).astype(
             jnp.uint32)                                         # exact < 2^17
-    ys = [y[m * W:(m + 1) * W] for m in range(8)]
+    ys = [y[m * 16:m * 16 + W] for m in range(8)]
     cols = [ys[2 * k] + (ys[2 * k + 1] << 8) for k in range(4)]  # < 2^26
     out_limbs = []
     carry = jnp.zeros_like(cols[0])

@@ -36,7 +36,9 @@ from ..poseidon import hash_no_pad
 from .gates import (
     UNUSED_SELECTOR,
     ArithmeticGate,
+    BaseSumGate,
     ConstantGate,
+    ExponentiationGate,
     NoopGate,
     PublicInputGate,
     compute_selector_groups,
@@ -206,6 +208,27 @@ class CircuitBuilder:
 
     def mul(self, a, b):
         return self.arithmetic(1, 0, a, b, self.constant(0))
+
+    def split_le(self, x: Target, num_bits) -> List[Target]:
+        """Boolean (base-2) decomposition of x, LSB-first, range-checked by
+        a BaseSumGate; x must actually fit num_bits at prove time."""
+        assert 1 + num_bits <= self.config.num_routed_wires
+        row = self.add_gate(BaseSumGate(num_bits, base=2))
+        self.connect(x, (row, 0))
+        return [(row, 1 + i) for i in range(num_bits)]
+
+    def exp(self, base: Target, exponent: Target, num_bits) -> Target:
+        """base ^ exponent for exponent < 2^num_bits: a boolean split of the
+        exponent routed into an ExponentiationGate."""
+        gate = ExponentiationGate(num_bits)
+        assert gate.num_wires <= self.config.num_wires
+        assert gate.wire_output < self.config.num_routed_wires
+        bits = self.split_le(exponent, num_bits)
+        row = self.add_gate(gate)
+        self.connect(base, (row, 0))
+        for j, b in enumerate(bits):
+            self.connect(b, (row, gate.wire_bit(j)))
+        return (row, gate.wire_output)
 
     def connect(self, a: Target, b: Target):
         assert a[1] < self.config.num_routed_wires

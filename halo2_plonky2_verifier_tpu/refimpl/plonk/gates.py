@@ -123,6 +123,95 @@ class PublicInputGate(Gate):
         return [F.sub(wires[i], public_inputs_hash[i]) for i in range(4)]
 
 
+class BaseSumGate(Gate):
+    """Base-B decomposition with limb range checks (plonky2 gates/base_sum.rs):
+    wires = [sum, limb_0, ..., limb_{n-1}], constraints:
+      sum - sum_i limb_i * B^i                              (degree 1)
+      prod_{v=0}^{B-1} (limb_i - v)  for each limb          (degree B)
+    B=2 gives boolean decomposition — the framework's range-check gate."""
+
+    def __init__(self, num_limbs, base=2):
+        assert base >= 2
+        self.num_limbs = num_limbs
+        self.base = base
+        self.num_wires = 1 + num_limbs
+        self.num_constants = 0
+
+    def id(self):
+        return f"BaseSumGate(num_limbs={self.num_limbs}, base={self.base})"
+
+    def degree(self):
+        return self.base
+
+    def num_constraints(self):
+        return 1 + self.num_limbs
+
+    def eval(self, F, constants, wires, public_inputs_hash):
+        b = F.from_base(self.base)
+        acc = F.zero()
+        for i in reversed(range(self.num_limbs)):
+            acc = F.add(F.mul(b, acc), wires[1 + i])
+        out = [F.sub(wires[0], acc)]
+        for i in range(self.num_limbs):
+            limb = wires[1 + i]
+            prod = limb
+            for v in range(1, self.base):
+                prod = F.mul(prod, F.sub(limb, F.from_base(v)))
+            out.append(prod)
+        return out
+
+
+class ExponentiationGate(Gate):
+    """base^exponent by square-and-multiply over the exponent's bits
+    (plonky2 gates/exponentiation.rs).  Wires: base (0), power bits LSB-first
+    (1..num_power_bits), output (1+num_power_bits), intermediates (rest,
+    unrouted).  Constraint i (MSB-first):
+        intermediate_i = intermediate_{i-1}^2 * (bit * (base - 1) + 1)
+    (degree 4; intermediate_{-1} = 1), plus output = last intermediate.
+    Bits are NOT booleanity-constrained here — route them from a
+    BaseSumGate(base=2) decomposition (CircuitBuilder.exp does)."""
+
+    def __init__(self, num_power_bits):
+        self.num_power_bits = num_power_bits
+        self.num_wires = 2 + 2 * num_power_bits
+        self.num_constants = 0
+
+    def id(self):
+        return f"ExponentiationGate(num_power_bits={self.num_power_bits})"
+
+    def degree(self):
+        return 4
+
+    def num_constraints(self):
+        return self.num_power_bits + 1
+
+    def wire_bit(self, j):
+        return 1 + j                      # LSB-first
+
+    @property
+    def wire_output(self):
+        return 1 + self.num_power_bits
+
+    def wire_intermediate(self, i):
+        return 2 + self.num_power_bits + i
+
+    def eval(self, F, constants, wires, public_inputs_hash):
+        nb = self.num_power_bits
+        one = F.one()
+        base = wires[0]
+        out = []
+        prev = one
+        for i in range(nb):
+            bit = wires[self.wire_bit(nb - 1 - i)]   # MSB-first walk
+            mult = F.add(F.mul(bit, F.sub(base, one)), one)
+            cur = wires[self.wire_intermediate(i)]
+            out.append(F.sub(F.mul(F.mul(prev, prev), mult), cur))
+            prev = cur
+        out.append(F.sub(wires[self.wire_output],
+                         wires[self.wire_intermediate(nb - 1)]))
+        return out
+
+
 # ----------------------------------------------------------------------------
 # Selectors (plonky2 gates/selectors.rs)
 # ----------------------------------------------------------------------------

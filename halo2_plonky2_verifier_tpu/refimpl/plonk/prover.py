@@ -11,7 +11,8 @@ from ..challenger import Challenger
 from ..field_ops import BaseOps
 from ..poseidon import hash_no_pad
 from ..prover import PolynomialBatch, fri_prove_openings
-from .gates import ArithmeticGate, ConstantGate, NoopGate, PublicInputGate
+from .gates import (ArithmeticGate, BaseSumGate, ConstantGate,
+                    ExponentiationGate, NoopGate, PublicInputGate)
 from .proof import PlonkOpeningSet, PlonkProof, PlonkProofWithPublicInputs
 from .vanishing import eval_vanishing_terms
 
@@ -46,6 +47,21 @@ def fill_witness(builder, common, input_values):
                 v = (c0 * get_val((row, m0)) * get_val((row, m1))
                      + c1 * get_val((row, add))) % gl.P
                 set_val((row, out), v)
+        elif isinstance(gate, BaseSumGate):
+            s = get_val((row, 0))
+            for i in range(gate.num_limbs):
+                set_val((row, 1 + i), s % gate.base)
+                s //= gate.base
+            assert s == 0, f"value does not fit {gate.id()} at row {row}"
+        elif isinstance(gate, ExponentiationGate):
+            nb = gate.num_power_bits
+            base = get_val((row, 0))
+            cur = 1
+            for i in range(nb):
+                bit = get_val((row, gate.wire_bit(nb - 1 - i)))
+                cur = cur * cur * (bit * (base - 1) + 1) % gl.P
+                set_val((row, gate.wire_intermediate(i)), cur)
+            set_val((row, gate.wire_output), cur)
         elif isinstance(gate, PublicInputGate):
             pis = [get_val(t) for t in builder.public_inputs]
             pi_hash = hash_no_pad(pis)
@@ -57,8 +73,9 @@ def fill_witness(builder, common, input_values):
     wires = [[0] * n for _ in range(cfg.num_wires)]
     for col in range(cfg.num_wires):
         for row in range(n):
-            if col < cfg.num_routed_wires:
-                wires[col][row] = get_val((row, col))
+            # unrouted columns carry generator-set values too (e.g. the
+            # ExponentiationGate intermediates)
+            wires[col][row] = get_val((row, col))
     return wires, pis, pi_hash
 
 

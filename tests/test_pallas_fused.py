@@ -201,15 +201,18 @@ def test_poseidon_kernel_mds_paths():
 
     old = pp._MDS_MXU
     try:
-        # distinct lane counts per variant: permute_planes is jit-cached, so
-        # a same-shape call after flipping the flag would NOT retrace
+        # per-variant smart_jit wrappers: (a) permute_planes' own jax.jit
+        # cache would not retrace after flipping the flag, and (b) plain
+        # jax.jit hits the XLA:CPU fusion pathology on this graph (CLAUDE.md)
         for mxu, n in ((True, 256), (False, 384)):
             pp._MDS_MXU = mxu
+            f = smart_jit(functools.partial(
+                pp.permute_planes.__wrapped__, interpret=True))
             s = rand_u64((12, n))
             hi, lo = gl_ops.from_u64(s)
             want = np.array([pos_ref.permute([int(v) for v in s[:, i]])
                              for i in range(n)], dtype=np.uint64).T
-            oh, ol = pp.permute_planes(hi, lo, interpret=True)
+            oh, ol = f(hi, lo)
             got = gl_ops.to_u64((np.asarray(oh), np.asarray(ol)))
             assert np.array_equal(got, want), f"mxu={mxu}"
     finally:

@@ -98,6 +98,33 @@ def merged_merkle_verdict(H, nodes, indices, siblings, depths, caps, cap_index):
     return H.eq(root, nodes)
 
 
+def _bn254_merkle_planes_verdict(H, nodes_st, idx_st, sib_st, depths,
+                                 caps_st, cap_index):
+    """BN254 Merkle verification through the fused plane path kernel
+    (ops/poseidon_bn254_pallas.verify_paths_mont_planes): lanes = flattened
+    (batch, query, slot), limb index on sublanes, the whole level loop in
+    VMEM with the node kept in Montgomery form across levels.  Replaces the
+    batch-last scan (one pallas_call + from/to-Montgomery round trip per
+    level) that dominated the BN254-config device profile."""
+    from .ops import poseidon_bn254_pallas as pbp
+
+    B, Q, S, L = nodes_st.shape
+    d_max = sib_st.shape[3]
+    M = B * Q * S
+    node_p = nodes_st.reshape(M, L).T                       # (16, M)
+    sib_p = jnp.transpose(sib_st.reshape(M, d_max, L), (1, 2, 0))
+    idx_p = idx_st.reshape(M)
+    level_active = np.zeros((d_max, S), dtype=np.uint32)
+    for s, d in enumerate(depths):
+        level_active[:d, s] = 1
+    act = jnp.broadcast_to(
+        jnp.asarray(level_active)[:, None, None, :],
+        (d_max, B, Q, S)).reshape(d_max, M)
+    root_p = pbp.verify_paths_mont_planes(node_p, sib_p, idx_p, act)
+    roots = root_p.T.reshape(B, Q, S, L)
+    return H.eq(H.take_cap(caps_st, cap_index), roots)
+
+
 def merkle_scan_planes(node, idx, sib, active):
     """Plane-form Merkle level loop: node (4, N) pair, idx (N,) u32,
     sib (d_max, 4, N) pair, active (d_max, N) u32 -> (4, N) root pair.
@@ -294,8 +321,16 @@ def verify_fri(shape, batch, challenges, verdict):
         idx_st = jnp.stack(idxs, axis=-1)                        # (B,Q,S)
         sib_st = H.stack(sibs, 2)                                # (B,Q,S,Dmax[,hash])
         caps_st = H.stack(caps, 1)                               # (B,S,cap[,hash])
-        mk_ok = merged_merkle_verdict(H, nodes_st, idx_st, sib_st,
-                                      tuple(depths), caps_st, cap_index)
+        from .ops import poseidon as _pos
+        from .utils import profiling as _prof
+        if (H.name == "poseidon_bn254" and d_max
+                and _pos._impl() == "pallas" and not _prof.active()):
+            mk_ok = _bn254_merkle_planes_verdict(
+                H, nodes_st, idx_st, sib_st, tuple(depths), caps_st,
+                cap_index)
+        else:
+            mk_ok = merged_merkle_verdict(H, nodes_st, idx_st, sib_st,
+                                          tuple(depths), caps_st, cap_index)
     verdict = verdict & mk_ok.all(axis=(1, 2))                   # (B,Q,S)
     _mk_scope.__exit__(None, None, None)
 

@@ -130,15 +130,16 @@ def _split(state, t):
     return tuple(state[16 * i:16 * (i + 1), :] for i in range(WIDTH))
 
 
-def _permute_kernel(rc_ref, mds_ref, in_ref, out_ref):
-    """Lazy-Montgomery rounds: values drift in [0, ~2.6p) with exactly one
-    conditional subtraction per round (inside the mix REDC) — enough to keep
-    the bound cycling (out <= t/R + p with t <= 4p * 2.6p and R/p ~ 5.3
-    gives ~2.6p before, ~1.6p after the mix cond_sub) — plus one cond_sub
-    per element at kernel exit for canonical output."""
-    t = in_ref.shape[1]
-    st = _split(in_ref[:], t)
-    a_mat = mds_ref[:]
+def _run_rounds(st, rc_ref, a_mat):
+    """All 64 lazy-Montgomery rounds on a 4-tuple of (16, T) planes: values
+    drift in [0, ~2.6p) with exactly one conditional subtraction per round
+    (inside the mix REDC) — enough to keep the bound cycling (out <= t/R + p
+    with t <= 4p * 2.6p and R/p ~ 5.3 gives ~2.6p before, ~1.6p after the
+    mix cond_sub).  Output is lazy (< ~1.6p) — callers canonicalize.
+
+    `rc_ref` must be the round-constant REF (not a loaded value): Mosaic
+    lowers dynamic indexing on a Ref, but dynamic_slice on a value is
+    unimplemented for the loop-carried round counter."""
 
     def round_body(r, st, full):
         rc = rc_ref[r]                                # (64, 1)
@@ -155,8 +156,90 @@ def _permute_kernel(rc_ref, mds_ref, in_ref, out_ref):
                            lambda r, s: round_body(r, s, False), st)
     st = jax.lax.fori_loop(_ROUNDS - _HALF, _ROUNDS,
                            lambda r, s: round_body(r, s, True), st)
+    return st
+
+
+def _permute_kernel(rc_ref, mds_ref, in_ref, out_ref):
+    t = in_ref.shape[1]
+    st = _run_rounds(_split(in_ref[:], t), rc_ref, mds_ref[:])
     st = tuple(frp.cond_sub_p(s) for s in st)         # lazy -> canonical
     out_ref[:] = jnp.concatenate(st, axis=0)
+
+
+def _path_kernel(rc_ref, mds_ref, node_ref, sib_ref, idx_ref, act_ref,
+                 out_ref):
+    """One tile of BN254 Merkle paths, whole level loop in VMEM: the node
+    hash stays in MONTGOMERY form across levels (the per-level from_mont /
+    to_mont round trips of the scan formulation disappear), each level doing
+    sibling to_mont + select + the [0, 0, left, right] two_to_one state +
+    64 lazy rounds (poseidon_bn254.two_to_one semantics)."""
+    d_max = sib_ref.shape[0]
+    a_mat = mds_ref[:]
+    zero = jnp.zeros_like(node_ref[:])
+
+    def level(l, carry):
+        node_m, idx = carry                           # (16,T) mont, (1,T)
+        sib_m = frp.to_mont(sib_ref[l])
+        bit = (idx & np.uint32(1)) == np.uint32(1)    # (1,T): node is right
+        left = jnp.where(bit, sib_m, node_m)
+        right = jnp.where(bit, node_m, sib_m)
+        st = _run_rounds((zero, zero, left, right), rc_ref, a_mat)
+        new_node = frp.cond_sub_p(st[0])              # canonical mont
+        act = act_ref[pl.ds(l, 1), :] == np.uint32(1)
+        node_m = jnp.where(act, new_node, node_m)
+        idx = jnp.where(act, idx >> np.uint32(1), idx)
+        return node_m, idx
+
+    node_m = frp.to_mont(node_ref[:])
+    node_m, _ = jax.lax.fori_loop(
+        0, d_max, level, (node_m, idx_ref[:]))
+    out_ref[:] = frp.from_mont(node_m)                # canonical standard
+
+
+def verify_paths_mont_planes(node, siblings, idx, active, interpret=False):
+    """Fused BN254 Merkle path verification.
+
+    node:     (16, N) u32 standard-form leaf-hash limb planes
+    siblings: (d_max, 16, N) zero-padded standard-form sibling planes
+    idx:      (N,) u32 leaf indices
+    active:   (d_max, N) u32 per-level masks
+    Returns (16, N) standard-form root planes (compare vs caps outside)."""
+    _, rc_np = _get_tables()
+    n = node.shape[1]
+    d_max = siblings.shape[0]
+    n_pad = -n % _TILE
+    idx2 = idx[None, :]
+    if n_pad:
+        node = jnp.pad(node, ((0, 0), (0, n_pad)))
+        siblings = jnp.pad(siblings, ((0, 0), (0, 0), (0, n_pad)))
+        idx2 = jnp.pad(idx2, ((0, 0), (0, n_pad)))
+        active = jnp.pad(active, ((0, 0), (0, n_pad)))
+    total = node.shape[1]
+    grid = (total // _TILE,)
+    h_spec = pl.BlockSpec((fr.N_LIMBS, _TILE), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+    sib_spec = pl.BlockSpec((d_max, fr.N_LIMBS, _TILE), lambda i: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+    idx_spec = pl.BlockSpec((1, _TILE), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    act_spec = pl.BlockSpec((d_max, _TILE), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    rc_spec = pl.BlockSpec((_ROUNDS, WIDTH * fr.N_LIMBS, 1),
+                           lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    mds_spec = pl.BlockSpec((4 * 64, 4 * 32), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _path_kernel,
+        grid=grid,
+        in_specs=[rc_spec, mds_spec, h_spec, sib_spec, idx_spec, act_spec],
+        out_specs=h_spec,
+        out_shape=jax.ShapeDtypeStruct((fr.N_LIMBS, total), jnp.uint32),
+        interpret=interpret,
+    )(jnp.asarray(rc_np), jnp.asarray(_get_mds_a(), dtype=jnp.bfloat16),
+      node, siblings, idx2, active)
+    if n_pad:
+        out = out[:, :n]
+    return out
 
 
 def permute_mont_planes(state, interpret=False):

@@ -217,3 +217,51 @@ def test_poseidon_kernel_mds_paths():
             assert np.array_equal(got, want), f"mxu={mxu}"
     finally:
         pp._MDS_MXU = old
+
+
+def test_bn254_path_kernel_vs_refimpl():
+    """Fused BN254 Merkle path kernel (whole level loop in VMEM, node kept
+    in Montgomery form across levels) vs the refimpl two_to_one chain, with
+    mixed per-lane depths and left/right orientations."""
+    import jax.numpy as jnp
+
+    from halo2_plonky2_verifier_tpu.ops import bn254 as fr
+    from halo2_plonky2_verifier_tpu.ops import poseidon_bn254_pallas as pbp
+    from halo2_plonky2_verifier_tpu.refimpl.poseidon_bn254 import (
+        two_to_one as ref_t2o)
+
+    rng = np.random.default_rng(9)
+    N, D = 64, 3
+
+    def rand_fr(n):
+        return [int(rng.integers(0, 2**62)) * int(rng.integers(0, 2**62))
+                % fr.P_INT for _ in range(n)]
+
+    leaves = rand_fr(N)
+    sibs = [rand_fr(D) for _ in range(N)]
+    idxs = rng.integers(0, 1 << D, N).astype(np.uint32)
+    depth_of = [D if i % 3 else 2 for i in range(N)]
+
+    def limbs(v):
+        return [(v >> (16 * k)) & 0xFFFF for k in range(16)]
+
+    node_p = np.array([limbs(v) for v in leaves], dtype=np.uint32).T
+    sib_p = np.zeros((D, 16, N), dtype=np.uint32)
+    act = np.zeros((D, N), dtype=np.uint32)
+    for i in range(N):
+        act[:depth_of[i], i] = 1
+        for l in range(D):
+            sib_p[l, :, i] = limbs(sibs[i][l])
+
+    f = smart_jit(functools.partial(pbp.verify_paths_mont_planes,
+                                    interpret=True))
+    out = np.asarray(f(jnp.asarray(node_p), jnp.asarray(sib_p),
+                       jnp.asarray(idxs), jnp.asarray(act)))
+    for i in range(N):
+        cur, ix = leaves[i], int(idxs[i])
+        for l in range(depth_of[i]):
+            s = sibs[i][l]
+            cur = ref_t2o(s, cur) if ix & 1 else ref_t2o(cur, s)
+            ix >>= 1
+        got = sum(int(out[k, i]) << (16 * k) for k in range(16))
+        assert got == cur, f"lane {i}"

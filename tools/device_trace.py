@@ -31,14 +31,21 @@ def main():
     from halo2_plonky2_verifier_tpu.utils.compile import smart_jit
 
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "profile_trace"
-    stark, config, batch = get_fibonacci_batch_columnar(32, 32)
+    bench_config = os.environ.get("BENCH_CONFIG", "gl")  # gl | bn254
+    from halo2_plonky2_verifier_tpu.refimpl import hashers
+    hasher_ref = hashers.BN254 if bench_config == "bn254" else None
+    hasher = ("poseidon_bn254" if bench_config == "bn254"
+              else "poseidon_goldilocks")
+    stark, config, batch = get_fibonacci_batch_columnar(
+        32, 32, hasher=hasher_ref)
     import jax.numpy as jnp
 
-    B = 1024
+    B = 1024 if bench_config == "gl" else 256
     reps = (B + batch.batch_size - 1) // batch.batch_size
     batch = jax.tree_util.tree_map(
         lambda x: jnp.concatenate([x] * reps, axis=0)[:B], batch)
-    verify = smart_jit(build_verifier(stark, config, batch.shape.degree_bits))
+    verify = smart_jit(build_verifier(stark, config, batch.shape.degree_bits,
+                                      hasher=hasher))
     np.asarray(verify(batch))  # compile + warm
 
     try:

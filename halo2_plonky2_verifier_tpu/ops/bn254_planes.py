@@ -82,6 +82,37 @@ def normalize(cols):
     return jnp.concatenate(rows, axis=0), carry
 
 
+def _shift_up(x, d):
+    """Move row k to row k+d, zero-filling the bottom (carry direction)."""
+    return jnp.pad(x[:-d], ((d, 0), (0, 0)))
+
+
+def normalize_ks(cols):
+    """normalize() with Kogge-Stone carry lookahead: bit-identical output
+    for any columns < 2^31, but the sequential dependence is one local
+    carry pass + log2(n) prefix steps of full-width (n, N) ops instead of
+    an n-step (1, N) ripple — the latency-bound form for kernel bodies
+    (the ripple normalize measured ~40% of the Poseidon-BN254 kernel).
+
+    Exactness: after the local pass every limb is < 2^16 + 2^15 < 2^17, so
+    generate bits are 0/1 and carry-in is a (generate, propagate) prefix;
+    propagate = (limb == 0xFFFF) handles arbitrary 0xFFFF ripple chains."""
+    n = cols.shape[0]
+    lo = cols & _MASK
+    c = cols >> 16
+    s = lo + _shift_up(c, 1)
+    r = s & _MASK
+    g = s >> 16                                   # {0, 1}
+    p = jnp.where(r == _MASK, np.uint32(1), np.uint32(0))
+    d = 1
+    while d < n:
+        g = g | (p & _shift_up(g, d))
+        p = p & _shift_up(p, d)
+        d *= 2
+    out = (r + _shift_up(g, 1)) & _MASK
+    return out, c[n - 1:n] + g[n - 1:n]
+
+
 def _const_plane(c_np, like):
     """Host u16-limb constant -> (16, N) plane of broadcast scalars (built
     from scalar constants so Pallas kernel bodies can close over it)."""
@@ -95,7 +126,7 @@ def cond_sub_p(a):
     """a (16, N) u16 limbs, a < 2p -> canonical a mod p.
     Computes a + (R - p); carry-out of the top limb means a >= p."""
     raw = a + _const_plane(_RMP_NP, a)
-    s, carry = normalize(raw)
+    s, carry = normalize_ks(raw)
     return jnp.where(carry > 0, s, a)
 
 
@@ -132,7 +163,7 @@ def redc_lazy(t_cols):
 def add_lazy(a, b):
     """a + b with carry normalization only (no mod-p subtraction): exact as
     long as a + b < 2^256 (callers keep values < ~3p < 2^256)."""
-    s, _ = normalize(a + b)
+    s, _ = normalize_ks(a + b)
     return s
 
 

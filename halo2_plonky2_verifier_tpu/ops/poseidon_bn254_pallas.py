@@ -7,9 +7,17 @@ All 64 rounds run with the 4xFr state resident in VMEM in plane layout
 accumulates its four schoolbook products in raw columns and pays a single
 Montgomery reduction — 4 REDCs per mix instead of 16.
 
+Montgomery reductions avoid sequential carry ripples (measured ~40% of
+kernel time as latency-bound (1, T) chains): both REDC const-multiplies run
+as MXU conv-matmuls fed raw columns as byte planes (_redc_mxu), the mod-R
+product needs only one local carry pass, and the single remaining exact
+normalization uses Kogge-Stone carry lookahead (bn254_planes.normalize_ks).
+
 The jnp scan path (ops/poseidon_bn254.py) serves CPU tests and the op
 census; this kernel engages on TPU via poseidon_bn254.permute_mont.
 """
+
+import os
 
 import numpy as np
 
@@ -26,9 +34,14 @@ _ROUNDS = FULL_ROUNDS + PARTIAL_ROUNDS
 _HALF = FULL_ROUNDS // 2
 _TILE = 256  # batch lanes per grid step
 
+# REDC const-multiplies (m = t*N' mod R, u = m*p) on the MXU (default) or
+# the VPU school_const ripple (POSEIDON_BN254_REDC=vpu fallback).
+_REDC_MXU = os.environ.get("POSEIDON_BN254_REDC", "mxu") != "vpu"
+
 _M_NP = None   # (4, 4, 16) u32 host Montgomery-form MDS limb tables
 _RC_NP = None  # (rounds, 64, 1) u32 Montgomery-form round-constant planes
 _A_NP = None   # (256, 128) f32 conv-matmul MDS operand (8-bit limb blocks)
+_REDC_NP = None  # (384, 128) f32 block-diag [A_Nprime; A_p] REDC operand
 
 
 def _get_tables():
@@ -78,6 +91,127 @@ def _get_mds_a():
     return _A_NP
 
 
+def _conv_block(c_int, out_digits):
+    """(out_digits, 64) conv matrix: const * value as a linear map of the
+    value's raw 16-bit COLUMNS fed as four 8-bit byte planes (input row
+    b * 16 + m = byte b of column m, sitting at 8-bit position 2m + b).
+    Output rows use the evens/odds layout of _get_tables (even digit
+    columns k in rows [0, half), odd in [half, out_digits)).  Feeding raw
+    columns (< 2^26) directly means no carry normalization is needed
+    before the matmul."""
+    c8 = [(c_int >> (8 * t)) & 0xFF for t in range(32)]
+    half = out_digits // 2
+    a = np.zeros((out_digits, 64), dtype=np.float32)
+    for b in range(4):
+        for m in range(16):
+            pos = 2 * m + b
+            for cc in range(pos, min(pos + 32, out_digits)):
+                row = cc // 2 if cc % 2 == 0 else half + cc // 2
+                a[row, b * 16 + m] = c8[cc - pos]
+    return a
+
+
+def _get_redc_a():
+    """(384, 256) f32 REDC conv-matmul operand, block-diagonal over the 4
+    state elements: rows [0, 128) = A_Nprime (truncated 32-digit output,
+    the mod-R multiply m = t_low * N' applied to t's raw low columns), rows
+    [128, 384) = A_p (full 64-digit output, u = m' * p).  Entries <= 255
+    (exact bf16); per-row sums <= 64 * 255^2 < 2^23 (exact f32)."""
+    global _REDC_NP
+    if _REDC_NP is None:
+        nprime_int = sum(int(x) << (16 * k)
+                         for k, x in enumerate(fr.NPRIME_LIMBS))
+        an = _conv_block(nprime_int, 32)
+        ap = _conv_block(fr.P_INT, 64)
+        a = np.zeros((384, 256), dtype=np.float32)
+        for i in range(WIDTH):
+            a[i * 32:(i + 1) * 32, i * 64:(i + 1) * 64] = an
+            a[128 + i * 64:128 + (i + 1) * 64, i * 64:(i + 1) * 64] = ap
+        _REDC_NP = a
+    return _REDC_NP
+
+
+def _to_bf16(x):
+    # Mosaic has no u32 <-> bf16 cast: hop through i32/f32.
+    return x.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+
+
+def _from_f32(y):
+    return y.astype(jnp.int32).astype(jnp.uint32)
+
+
+def _bytes4(cols, n):
+    """(16, N) u32 columns < 2^32 -> 4 byte planes stacked to (64, N)."""
+    return [cols & np.uint32(0xFF), (cols >> 8) & np.uint32(0xFF),
+            (cols >> 16) & np.uint32(0xFF), cols >> 24]
+
+
+def _redc_mxu(cols_list, a_redc):
+    """Lazy Montgomery reduction of k <= 4 raw-column planes with both REDC
+    const-multiplies as one MXU conv-matmul each, and NO carry ripples on
+    the critical path except the final output normalization (Kogge-Stone):
+    bit-identical to bn254_planes.redc_lazy mod p with a marginally larger
+    lazy bound (t/R + 1.001p instead of t/R + p — the cycling analysis in
+    _run_rounds absorbs it).
+
+    cols_list: list of k (32, N) u32 raw column planes (each < 2^26).
+    a_redc:    the (384, 256) bf16 _get_redc_a operand.
+    Returns a list of k (16, N) lazy u16-limb planes.
+
+    Steps per element:
+      1. t's raw LOW columns (columns >= 16 are multiples of R, i.e. == 0
+         mod R) go straight into the A_Nprime matmul as four byte planes —
+         no normalization needed, the conv matrix handles the radix
+         alignment of each byte.
+      2. recombine the truncated 8-bit output into 16-bit raw columns (the
+         odd block's roll-wrap row is masked: the digit-31 overflow is
+         exactly the mod-R drop), then ONE local carry pass: m' has limbs
+         < 2^17 and value m mod R < 1.001 * R — close enough to strict for
+         the lazy bound, and exactly what u = m' * p needs.
+      3. m' as byte planes (byte 3 is provably zero) -> A_p matmul ->
+         recombine (no mask: u < 1.001*R*p < 2^510 forces the digit-63 raw
+         sum < 2^6) -> s = t + u -> Kogge-Stone normalize -> s[16:]."""
+    k = len(cols_list)
+    n = cols_list[0].shape[1]
+    blocks = []
+    for c in cols_list:
+        blocks.extend(_bytes4(c[:16], n))
+    if k < WIDTH:
+        blocks.append(jnp.zeros((64 * (WIDTH - k), n), jnp.uint32))
+    x = _to_bf16(jnp.concatenate(blocks, axis=0))        # (256, N) bytes
+    m8 = _from_f32(jax.lax.dot_general(
+        a_redc[:128], x, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))             # (128, N)
+    row = jax.lax.broadcasted_iota(jnp.uint32, (16, n), 0)
+    ms = []
+    for i in range(k):
+        ev = m8[i * 32:i * 32 + 16]
+        od = m8[i * 32 + 16:i * 32 + 32]
+        wrap = jnp.where(row == 0, np.uint32(0), pltpu.roll(od >> 8, 1, 0))
+        mcols = ev + ((od & np.uint32(0xFF)) << 8) + wrap  # < 2^22
+        mp = (mcols & np.uint32(0xFFFF)) + frp._shift_up(mcols >> 16, 1)
+        ms.append(mp)                                    # limbs < 2^17
+    blocks = []
+    zero = jnp.zeros((16, n), jnp.uint32)
+    for m in ms:
+        blocks.extend([m & np.uint32(0xFF), (m >> 8) & np.uint32(0xFF),
+                       m >> 16, zero])
+    if k < WIDTH:
+        blocks.append(jnp.zeros((64 * (WIDTH - k), n), jnp.uint32))
+    xm = _to_bf16(jnp.concatenate(blocks, axis=0))
+    u8 = _from_f32(jax.lax.dot_general(
+        a_redc[128:], xm, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))             # (256, N)
+    out = []
+    for i in range(k):
+        ev = u8[i * 64:i * 64 + 32]
+        od = u8[i * 64 + 32:i * 64 + 64]
+        ucols = ev + ((od & np.uint32(0xFF)) << 8) + pltpu.roll(od >> 8, 1, 0)
+        s, _ = frp.normalize_ks(cols_list[i] + ucols)    # t + m'*p < 2^27
+        out.append(s[16:])
+    return out
+
+
 def _sbox5(x):
     """x^5 with lazy Montgomery reductions (no per-step cond_sub; value
     bounds stay < ~2.6p and cycle stably — see _permute_kernel note)."""
@@ -86,14 +220,16 @@ def _sbox5(x):
     return frp.redc_lazy(frp.school(x4, x))
 
 
-def _mix_mxu(st, a_mat):
+def _mix_mxu(st, a_mat, a_redc=None):
     """MDS over 4 (16, T) planes as one (256,128)@(128,T) bf16 matmul.
 
     The state's 8-bit limb planes go through the conv matrix (exact: f32
     sums < 2^24); the 63 8-bit output columns per element are recombined
     into 32 16-bit raw columns (< 2^25) and Montgomery-reduced with the
     usual cond_sub (the one subtraction per round that keeps the lazy
-    value bounds cycling at ~1.6p instead of diverging)."""
+    value bounds cycling at ~1.6p instead of diverging).  With `a_redc`
+    the 4 reductions batch through one _redc_mxu; without it they take
+    the VPU school_const path."""
     blocks = []
     for j in range(WIDTH):
         blocks.append(st[j] & np.uint32(0xFF))
@@ -104,14 +240,15 @@ def _mix_mxu(st, a_mat):
         a_mat, x, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(jnp.int32).astype(
             jnp.uint32)                                          # (256, T)
-    out = []
+    cols = []
     for i in range(WIDTH):
         evens = y[i * 64:i * 64 + 32]                            # c = 2k
         odds = y[i * 64 + 32:i * 64 + 64]                        # c = 2k+1
-        cols16 = (evens + ((odds & np.uint32(0xFF)) << 8)
-                  + (pltpu.roll(odds, 1, 0) >> 8))               # < 2^25
-        out.append(frp.redc(cols16))
-    return tuple(out)
+        cols.append(evens + ((odds & np.uint32(0xFF)) << 8)
+                    + (pltpu.roll(odds, 1, 0) >> 8))             # < 2^25
+    if a_redc is not None:
+        return tuple(frp.cond_sub_p(s) for s in _redc_mxu(cols, a_redc))
+    return tuple(frp.redc(c) for c in cols)
 
 
 def _mix(st, m_np):
@@ -130,12 +267,16 @@ def _split(state, t):
     return tuple(state[16 * i:16 * (i + 1), :] for i in range(WIDTH))
 
 
-def _run_rounds(st, rc_ref, a_mat):
+def _run_rounds(st, rc_ref, a_mat, a_redc=None):
     """All 64 lazy-Montgomery rounds on a 4-tuple of (16, T) planes: values
     drift in [0, ~2.6p) with exactly one conditional subtraction per round
     (inside the mix REDC) — enough to keep the bound cycling (out <= t/R + p
     with t <= 4p * 2.6p and R/p ~ 5.3 gives ~2.6p before, ~1.6p after the
     mix cond_sub).  Output is lazy (< ~1.6p) — callers canonicalize.
+
+    With `a_redc`, every reduction routes through the MXU (_redc_mxu):
+    full-round sboxes batch the 4 elements per squaring stage, the partial
+    sbox runs k=1 through the same block-diagonal operand.
 
     `rc_ref` must be the round-constant REF (not a loaded value): Mosaic
     lowers dynamic indexing on a Ref, but dynamic_slice on a value is
@@ -145,11 +286,23 @@ def _run_rounds(st, rc_ref, a_mat):
         rc = rc_ref[r]                                # (64, 1)
         st = tuple(frp.add_lazy(st[i], rc[16 * i:16 * (i + 1)])
                    for i in range(WIDTH))
-        if full:
+        if a_redc is not None:
+            if full:
+                x2 = _redc_mxu([frp.school(s, s) for s in st], a_redc)
+                x4 = _redc_mxu([frp.school(s, s) for s in x2], a_redc)
+                st = tuple(_redc_mxu(
+                    [frp.school(a, b) for a, b in zip(x4, st)], a_redc))
+            else:
+                x = st[0]
+                x2 = _redc_mxu([frp.school(x, x)], a_redc)[0]
+                x4 = _redc_mxu([frp.school(x2, x2)], a_redc)[0]
+                x5 = _redc_mxu([frp.school(x4, x)], a_redc)[0]
+                st = (x5,) + st[1:]
+        elif full:
             st = tuple(_sbox5(s) for s in st)
         else:
             st = (_sbox5(st[0]),) + st[1:]
-        return _mix_mxu(st, a_mat)
+        return _mix_mxu(st, a_mat, a_redc)
 
     st = jax.lax.fori_loop(0, _HALF, lambda r, s: round_body(r, s, True), st)
     st = jax.lax.fori_loop(_HALF, _ROUNDS - _HALF,
@@ -159,15 +312,16 @@ def _run_rounds(st, rc_ref, a_mat):
     return st
 
 
-def _permute_kernel(rc_ref, mds_ref, in_ref, out_ref):
+def _permute_kernel(rc_ref, mds_ref, redc_ref, in_ref, out_ref):
     t = in_ref.shape[1]
-    st = _run_rounds(_split(in_ref[:], t), rc_ref, mds_ref[:])
+    a_redc = redc_ref[:] if _REDC_MXU else None
+    st = _run_rounds(_split(in_ref[:], t), rc_ref, mds_ref[:], a_redc)
     st = tuple(frp.cond_sub_p(s) for s in st)         # lazy -> canonical
     out_ref[:] = jnp.concatenate(st, axis=0)
 
 
-def _path_kernel(rc_ref, mds_ref, node_ref, sib_ref, idx_ref, act_ref,
-                 out_ref):
+def _path_kernel(rc_ref, mds_ref, redc_ref, node_ref, sib_ref, idx_ref,
+                 act_ref, out_ref):
     """One tile of BN254 Merkle paths, whole level loop in VMEM: the node
     hash stays in MONTGOMERY form across levels (the per-level from_mont /
     to_mont round trips of the scan formulation disappear), each level doing
@@ -175,25 +329,38 @@ def _path_kernel(rc_ref, mds_ref, node_ref, sib_ref, idx_ref, act_ref,
     64 lazy rounds (poseidon_bn254.two_to_one semantics)."""
     d_max = sib_ref.shape[0]
     a_mat = mds_ref[:]
+    a_redc = redc_ref[:] if _REDC_MXU else None
     zero = jnp.zeros_like(node_ref[:])
+
+    def to_mont(a):
+        if a_redc is None:
+            return frp.to_mont(a)
+        cols = frp.school_const(a, frp._R2_NP)        # raw < 2^21
+        return frp.cond_sub_p(_redc_mxu([cols], a_redc)[0])
+
+    def from_mont(a):
+        if a_redc is None:
+            return frp.from_mont(a)
+        cols = jnp.pad(a, ((0, fr.N_LIMBS), (0, 0)))
+        return frp.cond_sub_p(_redc_mxu([cols], a_redc)[0])
 
     def level(l, carry):
         node_m, idx = carry                           # (16,T) mont, (1,T)
-        sib_m = frp.to_mont(sib_ref[l])
+        sib_m = to_mont(sib_ref[l])
         bit = (idx & np.uint32(1)) == np.uint32(1)    # (1,T): node is right
         left = jnp.where(bit, sib_m, node_m)
         right = jnp.where(bit, node_m, sib_m)
-        st = _run_rounds((zero, zero, left, right), rc_ref, a_mat)
+        st = _run_rounds((zero, zero, left, right), rc_ref, a_mat, a_redc)
         new_node = frp.cond_sub_p(st[0])              # canonical mont
         act = act_ref[pl.ds(l, 1), :] == np.uint32(1)
         node_m = jnp.where(act, new_node, node_m)
         idx = jnp.where(act, idx >> np.uint32(1), idx)
         return node_m, idx
 
-    node_m = frp.to_mont(node_ref[:])
+    node_m = to_mont(node_ref[:])
     node_m, _ = jax.lax.fori_loop(
         0, d_max, level, (node_m, idx_ref[:]))
-    out_ref[:] = frp.from_mont(node_m)                # canonical standard
+    out_ref[:] = from_mont(node_m)                    # canonical standard
 
 
 def verify_paths_mont_planes(node, siblings, idx, active, interpret=False):
@@ -228,14 +395,18 @@ def verify_paths_mont_planes(node, siblings, idx, active, interpret=False):
                            lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
     mds_spec = pl.BlockSpec((4 * 64, 4 * 32), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
+    redc_spec = pl.BlockSpec((384, 256), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _path_kernel,
         grid=grid,
-        in_specs=[rc_spec, mds_spec, h_spec, sib_spec, idx_spec, act_spec],
+        in_specs=[rc_spec, mds_spec, redc_spec, h_spec, sib_spec, idx_spec,
+                  act_spec],
         out_specs=h_spec,
         out_shape=jax.ShapeDtypeStruct((fr.N_LIMBS, total), jnp.uint32),
         interpret=interpret,
     )(jnp.asarray(rc_np), jnp.asarray(_get_mds_a(), dtype=jnp.bfloat16),
+      jnp.asarray(_get_redc_a(), dtype=jnp.bfloat16),
       node, siblings, idx2, active)
     if n_pad:
         out = out[:, :n]
@@ -257,14 +428,17 @@ def permute_mont_planes(state, interpret=False):
                            lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
     mds_spec = pl.BlockSpec((4 * 64, 4 * 32), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
+    redc_spec = pl.BlockSpec((384, 256), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _permute_kernel,
         grid=grid,
-        in_specs=[rc_spec, mds_spec, spec],
+        in_specs=[rc_spec, mds_spec, redc_spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((WIDTH * fr.N_LIMBS, total), jnp.uint32),
         interpret=interpret,
-    )(jnp.asarray(rc_np), jnp.asarray(_get_mds_a(), dtype=jnp.bfloat16), state)
+    )(jnp.asarray(rc_np), jnp.asarray(_get_mds_a(), dtype=jnp.bfloat16),
+      jnp.asarray(_get_redc_a(), dtype=jnp.bfloat16), state)
     if n_pad:
         out = out[:, :n]
     return out

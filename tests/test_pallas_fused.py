@@ -265,3 +265,30 @@ def test_bn254_path_kernel_vs_refimpl():
             ix >>= 1
         got = sum(int(out[k, i]) << (16 * k) for k in range(16))
         assert got == cur, f"lane {i}"
+
+
+def test_bn254_redc_paths():
+    """Both REDC implementations of the BN254 kernel — MXU conv-matmuls
+    (default) and the VPU school_const fallback (POSEIDON_BN254_REDC=vpu) —
+    produce bit-identical permutations matching refimpl."""
+    from halo2_plonky2_verifier_tpu.ops import bn254 as fr
+    from halo2_plonky2_verifier_tpu.ops import poseidon_bn254_pallas as pbp
+    from halo2_plonky2_verifier_tpu.refimpl import poseidon_bn254 as pb_ref
+
+    rng = np.random.default_rng(13)
+    vals = [[int.from_bytes(rng.bytes(31), "little") % fr.P_INT
+             for _ in range(4)] for _ in range(5)]
+    std = fr.from_ints(vals)
+    mont = smart_jit(fr.to_mont)(std)
+    want = [[w % fr.P_INT for w in pb_ref.permute(v)] for v in vals]
+    old = pbp._REDC_MXU
+    try:
+        for mxu in (True, False):
+            pbp._REDC_MXU = mxu
+            kern = smart_jit(functools.partial(pbp.permute_mont_batchlast,
+                                               interpret=True))
+            got = fr.to_ints(smart_jit(fr.from_mont)(kern(mont)))
+            for i in range(len(vals)):
+                assert [int(x) for x in got[i]] == want[i], (mxu, i)
+    finally:
+        pbp._REDC_MXU = old

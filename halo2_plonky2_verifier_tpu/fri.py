@@ -98,31 +98,45 @@ def merged_merkle_verdict(H, nodes, indices, siblings, depths, caps, cap_index):
     return H.eq(root, nodes)
 
 
-def _bn254_merkle_planes_verdict(H, nodes_st, idx_st, sib_st, depths,
-                                 caps_st, cap_index):
-    """BN254 Merkle verification through the fused plane path kernel
-    (ops/poseidon_bn254_pallas.verify_paths_mont_planes): lanes = flattened
-    (batch, query, slot), limb index on sublanes, the whole level loop in
-    VMEM with the node kept in Montgomery form across levels.  Replaces the
-    batch-last scan (one pallas_call + from/to-Montgomery round trip per
-    level) that dominated the BN254-config device profile."""
+def _bn254_merkle_planes_verdict(H, leaf_datas, idxs, sibs, depths, caps,
+                                 cap_index, d_max):
+    """BN254 Merkle verification, plane-first (the BN254 analog of
+    _gl_merkle_planes_verdict): leaf hashing runs as fused sponge kernels
+    (ops/poseidon_bn254_pallas.hash_or_noop_mont_planes, output kept in
+    Montgomery form), and the whole level loop runs in one path kernel with
+    lanes = flattened (slot, batch, query) — no batch-last detour and no
+    from/to-Montgomery round trips anywhere on the path."""
     from .ops import poseidon_bn254_pallas as pbp
 
-    B, Q, S, L = nodes_st.shape
-    d_max = sib_st.shape[3]
-    M = B * Q * S
-    node_p = nodes_st.reshape(M, L).T                       # (16, M)
-    sib_p = jnp.transpose(sib_st.reshape(M, d_max, L), (1, 2, 0))
-    idx_p = idx_st.reshape(M)
+    B, Q = idxs[0].shape
+    M = B * Q
+    S = len(depths)
+    node_parts = []
+    for ld in leaf_datas:
+        w = ld[0].shape[-1]
+        planes = (ld[0].reshape(M, w).T, ld[1].reshape(M, w).T)  # (w, M)
+        node_parts.append(pbp.hash_or_noop_mont_planes(planes))
+    node = jnp.concatenate(node_parts, axis=1)                 # (16, S*M)
+    idx_flat = jnp.concatenate([i.reshape(M) for i in idxs])   # (S*M,)
+    sib_parts = []
+    for s, d in zip(sibs, depths):
+        sp = jnp.transpose(s, (2, 3, 0, 1)).reshape(d, 16, M)  # (d,16,M)
+        if d < d_max:
+            sp = jnp.pad(sp, ((0, d_max - d), (0, 0), (0, 0)))
+        sib_parts.append(sp)
+    sib = jnp.concatenate(sib_parts, axis=2)                   # (dmax,16,S*M)
     level_active = np.zeros((d_max, S), dtype=np.uint32)
-    for s, d in enumerate(depths):
-        level_active[:d, s] = 1
+    for si, d in enumerate(depths):
+        level_active[:d, si] = 1
     act = jnp.broadcast_to(
-        jnp.asarray(level_active)[:, None, None, :],
-        (d_max, B, Q, S)).reshape(d_max, M)
-    root_p = pbp.verify_paths_mont_planes(node_p, sib_p, idx_p, act)
-    roots = root_p.T.reshape(B, Q, S, L)
-    return H.eq(H.take_cap(caps_st, cap_index), roots)
+        jnp.asarray(level_active)[:, :, None],
+        (d_max, S, M)).reshape(d_max, S * M)
+    root_p = pbp.verify_paths_mont_planes(node, sib, idx_flat, act,
+                                          node_in_mont=True)   # (16, S*M)
+    got = jnp.transpose(root_p.reshape(16, S, B, Q), (2, 3, 1, 0))
+    caps_st = H.stack(caps, 1)                                 # (B,S,cap,16)
+    root = H.take_cap(caps_st, cap_index)                      # (B,Q,S,16)
+    return H.eq(root, got)
 
 
 def merkle_scan_planes(node, idx, sib, active):
@@ -310,8 +324,14 @@ def verify_fri(shape, batch, challenges, verdict):
         caps.append(batch.commit_caps[si])
 
     d_max = max(depths)
+    from .ops import poseidon as _pos
+    from .utils import profiling as _prof
     if getattr(H, "supports_planes", False):
         mk_ok = _gl_merkle_planes_verdict(
+            H, leaf_datas, idxs, sibs, tuple(depths), caps, cap_index, d_max)
+    elif (H.name == "poseidon_bn254" and d_max
+          and _pos._impl() == "pallas" and not _prof.active()):
+        mk_ok = _bn254_merkle_planes_verdict(
             H, leaf_datas, idxs, sibs, tuple(depths), caps, cap_index, d_max)
     else:
         nodes = [H.leaf_hash(ld) for ld in leaf_datas]           # (B,Q[,hash])
@@ -321,16 +341,8 @@ def verify_fri(shape, batch, challenges, verdict):
         idx_st = jnp.stack(idxs, axis=-1)                        # (B,Q,S)
         sib_st = H.stack(sibs, 2)                                # (B,Q,S,Dmax[,hash])
         caps_st = H.stack(caps, 1)                               # (B,S,cap[,hash])
-        from .ops import poseidon as _pos
-        from .utils import profiling as _prof
-        if (H.name == "poseidon_bn254" and d_max
-                and _pos._impl() == "pallas" and not _prof.active()):
-            mk_ok = _bn254_merkle_planes_verdict(
-                H, nodes_st, idx_st, sib_st, tuple(depths), caps_st,
-                cap_index)
-        else:
-            mk_ok = merged_merkle_verdict(H, nodes_st, idx_st, sib_st,
-                                          tuple(depths), caps_st, cap_index)
+        mk_ok = merged_merkle_verdict(H, nodes_st, idx_st, sib_st,
+                                      tuple(depths), caps_st, cap_index)
     verdict = verdict & mk_ok.all(axis=(1, 2))                   # (B,Q,S)
     _mk_scope.__exit__(None, None, None)
 

@@ -17,6 +17,7 @@ The jnp scan path (ops/poseidon_bn254.py) serves CPU tests and the op
 census; this kernel engages on TPU via poseidon_bn254.permute_mont.
 """
 
+import functools
 import os
 
 import numpy as np
@@ -212,6 +213,15 @@ def _redc_mxu(cols_list, a_redc):
     return out
 
 
+
+def _auto_interp(interpret):
+    """interpret=None -> interpret mode unless running on a real TPU (lets
+    the fri.py plane path be exercised end-to-end on CPU tests)."""
+    if interpret is None:
+        return jax.default_backend() not in ("tpu", "axon")
+    return interpret
+
+
 def _sbox5(x):
     """x^5 with lazy Montgomery reductions (no per-step cond_sub; value
     bounds stay < ~2.6p and cycle stably — see _permute_kernel note)."""
@@ -320,8 +330,96 @@ def _permute_kernel(rc_ref, mds_ref, redc_ref, in_ref, out_ref):
     out_ref[:] = jnp.concatenate(st, axis=0)
 
 
+def _leaf_kernel(rc_ref, mds_ref, redc_ref, hi_ref, lo_ref, out_ref, *, w):
+    """hash_or_noop over w Goldilocks elements per lane, whole sponge in
+    VMEM, output in canonical MONTGOMERY form (poseidon_bn254.hash_or_noop_gl
+    semantics: w <= 3 packs 3 GL into one Fr with no permute; otherwise
+    chunks of 9 pack into state slots 1..3 with one permute per chunk, the
+    last chunk overwriting only ceil(len/3) slots).  Packing is pure limb
+    placement — a GL (hi, lo) pair contributes four u16 limb rows — so the
+    only arithmetic is the to-Montgomery REDC (through _redc_mxu, batched
+    across the chunk's slots) and the rounds."""
+    a_mat = mds_ref[:]
+    a_redc = redc_ref[:] if _REDC_MXU else None
+    t = hi_ref.shape[1]
+    zrow = jnp.zeros((1, t), jnp.uint32)
+
+    def pack3(els):
+        rows = []
+        for j in range(3):
+            if j < len(els):
+                h, l = els[j]
+                rows.extend([l & np.uint32(0xFFFF), l >> 16,
+                             h & np.uint32(0xFFFF), h >> 16])
+            else:
+                rows.extend([zrow] * 4)
+        rows.extend([zrow] * 4)
+        return jnp.concatenate(rows, axis=0)              # (16, T) standard
+
+    def to_mont_lazy(planes):
+        """Batched standard -> Montgomery, lazy output (rounds tolerate it)."""
+        if a_redc is not None:
+            return _redc_mxu(
+                [frp.school_const(p, frp._R2_NP) for p in planes], a_redc)
+        return [frp.to_mont(p) for p in planes]
+
+    els = [(hi_ref[j:j + 1], lo_ref[j:j + 1]) for j in range(w)]
+    if w <= 3:
+        node = to_mont_lazy([pack3(els)])[0]
+    else:
+        zero16 = jnp.zeros((16, t), jnp.uint32)
+        state = [zero16] * WIDTH
+        for c0 in range(0, w, 9):
+            chunk = els[c0:c0 + 9]
+            slots = to_mont_lazy([pack3(chunk[k:k + 3])
+                                  for k in range(0, len(chunk), 3)])
+            for k, sm in enumerate(slots):
+                state[1 + k] = sm
+            state = list(_run_rounds(tuple(state), rc_ref, a_mat, a_redc))
+        node = state[0]
+    out_ref[:] = frp.cond_sub_p(node)                     # canonical mont
+
+
+def hash_or_noop_mont_planes(gl_planes, interpret=None):
+    """gl_planes: (hi, lo) pair of (w, N) u32 Goldilocks planes (w static).
+    Returns (16, N) canonical MONTGOMERY-form Fr leaf-hash planes (feed
+    verify_paths_mont_planes with node_in_mont=True)."""
+    interpret = _auto_interp(interpret)
+    _, rc_np = _get_tables()
+    hi, lo = gl_planes
+    w, n = hi.shape
+    n_pad = -n % _TILE
+    if n_pad:
+        hi = jnp.pad(hi, ((0, 0), (0, n_pad)))
+        lo = jnp.pad(lo, ((0, 0), (0, n_pad)))
+    total = hi.shape[1]
+    grid = (total // _TILE,)
+    gl_spec = pl.BlockSpec((w, _TILE), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec((fr.N_LIMBS, _TILE), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+    rc_spec = pl.BlockSpec((_ROUNDS, WIDTH * fr.N_LIMBS, 1),
+                           lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    mds_spec = pl.BlockSpec((4 * 64, 4 * 32), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    redc_spec = pl.BlockSpec((384, 256), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_leaf_kernel, w=w),
+        grid=grid,
+        in_specs=[rc_spec, mds_spec, redc_spec, gl_spec, gl_spec],
+        out_specs=h_spec,
+        out_shape=jax.ShapeDtypeStruct((fr.N_LIMBS, total), jnp.uint32),
+        interpret=interpret,
+    )(jnp.asarray(rc_np), jnp.asarray(_get_mds_a(), dtype=jnp.bfloat16),
+      jnp.asarray(_get_redc_a(), dtype=jnp.bfloat16), hi, lo)
+    if n_pad:
+        out = out[:, :n]
+    return out
+
+
 def _path_kernel(rc_ref, mds_ref, redc_ref, node_ref, sib_ref, idx_ref,
-                 act_ref, out_ref):
+                 act_ref, out_ref, *, node_in_mont=False):
     """One tile of BN254 Merkle paths, whole level loop in VMEM: the node
     hash stays in MONTGOMERY form across levels (the per-level from_mont /
     to_mont round trips of the scan formulation disappear), each level doing
@@ -357,20 +455,24 @@ def _path_kernel(rc_ref, mds_ref, redc_ref, node_ref, sib_ref, idx_ref,
         idx = jnp.where(act, idx >> np.uint32(1), idx)
         return node_m, idx
 
-    node_m = to_mont(node_ref[:])
+    node_m = node_ref[:] if node_in_mont else to_mont(node_ref[:])
     node_m, _ = jax.lax.fori_loop(
         0, d_max, level, (node_m, idx_ref[:]))
     out_ref[:] = from_mont(node_m)                    # canonical standard
 
 
-def verify_paths_mont_planes(node, siblings, idx, active, interpret=False):
+def verify_paths_mont_planes(node, siblings, idx, active, interpret=None,
+                             node_in_mont=False):
     """Fused BN254 Merkle path verification.
 
-    node:     (16, N) u32 standard-form leaf-hash limb planes
+    node:     (16, N) u32 leaf-hash limb planes (standard form, or canonical
+              Montgomery form with node_in_mont=True — the
+              hash_or_noop_mont_planes output)
     siblings: (d_max, 16, N) zero-padded standard-form sibling planes
     idx:      (N,) u32 leaf indices
     active:   (d_max, N) u32 per-level masks
     Returns (16, N) standard-form root planes (compare vs caps outside)."""
+    interpret = _auto_interp(interpret)
     _, rc_np = _get_tables()
     n = node.shape[1]
     d_max = siblings.shape[0]
@@ -398,7 +500,7 @@ def verify_paths_mont_planes(node, siblings, idx, active, interpret=False):
     redc_spec = pl.BlockSpec((384, 256), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _path_kernel,
+        functools.partial(_path_kernel, node_in_mont=node_in_mont),
         grid=grid,
         in_specs=[rc_spec, mds_spec, redc_spec, h_spec, sib_spec, idx_spec,
                   act_spec],

@@ -292,3 +292,114 @@ def test_bn254_redc_paths():
                 assert [int(x) for x in got[i]] == want[i], (mxu, i)
     finally:
         pbp._REDC_MXU = old
+
+
+@pytest.mark.parametrize("w", [2, 3, 4, 9, 13, 21])
+def test_bn254_leaf_kernel_vs_refimpl(w):
+    """Fused BN254 leaf sponge kernel (hash_or_noop_mont_planes: packing,
+    chunked absorb, permutes all in VMEM, Montgomery output) vs the refimpl
+    hash_or_noop, across the pack-only (w<=3), single-chunk, and multi-chunk
+    (incl. partial last chunk) width regimes."""
+    import jax.numpy as jnp
+
+    from halo2_plonky2_verifier_tpu.ops import bn254 as fr
+    from halo2_plonky2_verifier_tpu.ops import poseidon_bn254_pallas as pbp
+    from halo2_plonky2_verifier_tpu.refimpl import poseidon_bn254 as pb_ref
+
+    rng = np.random.default_rng(100 + w)
+    N = 16
+    P_GL = (1 << 64) - (1 << 32) + 1
+    vals = rng.integers(0, P_GL, size=(N, w), dtype=np.uint64)
+    hi = (vals >> 32).astype(np.uint32).T                  # (w, N)
+    lo = (vals & 0xFFFFFFFF).astype(np.uint32).T
+    f = smart_jit(functools.partial(pbp.hash_or_noop_mont_planes,
+                                    interpret=True))
+    out = np.asarray(f((jnp.asarray(hi), jnp.asarray(lo))))   # (16, N) mont
+    rinv = pow(fr.R_INT, -1, fr.P_INT)
+    for i in range(N):
+        want = pb_ref.hash_or_noop([int(v) for v in vals[i]])
+        got_m = sum(int(out[k, i]) << (16 * k) for k in range(16))
+        assert got_m * rinv % fr.P_INT == want % fr.P_INT, (w, i)
+
+
+def test_bn254_plane_verdict_vs_merged():
+    """fri._bn254_merkle_planes_verdict (fused leaf sponge + path kernels,
+    interpret mode on CPU) vs fri.merged_merkle_verdict on the same
+    synthetic multi-slot geometry: mixed leaf widths (pack-only / one-chunk
+    / multi-chunk), mixed depths, consistent planted caps, plus a tampered
+    sibling lane — verdicts must agree elementwise and match expectation."""
+    import jax.numpy as jnp
+
+    from halo2_plonky2_verifier_tpu import fri
+    from halo2_plonky2_verifier_tpu.hashing import get_hash_ops
+    from halo2_plonky2_verifier_tpu.ops import bn254 as frops
+    from halo2_plonky2_verifier_tpu.refimpl import poseidon_bn254 as pb_ref
+
+    rng = np.random.default_rng(77)
+    H = get_hash_ops("poseidon_bn254")
+    B, Q = 2, 3
+    P_GL = (1 << 64) - (1 << 32) + 1
+    lde_bits, cap_height = 5, 2
+    slot_cfg = [
+        # (width, depth, idx_shift)
+        (2, 3, 0),
+        (4, 3, 0),
+        (21, 2, 1),
+    ]
+    d_max = max(d for _, d, _ in slot_cfg)
+    x_index = rng.integers(0, 1 << lde_bits, size=(B, Q)).astype(np.uint32)
+    cap_index = jnp.asarray(x_index >> np.uint32(lde_bits - cap_height))
+
+    def limbs(v):
+        return [(v >> (16 * k)) & 0xFFFF for k in range(16)]
+
+    leaf_datas, idxs, sibs, depths, caps = [], [], [], [], []
+    for si, (w, d, shift) in enumerate(slot_cfg):
+        vals = rng.integers(0, P_GL, size=(B, Q, w), dtype=np.uint64)
+        leaf_datas.append((jnp.asarray((vals >> 32).astype(np.uint32)),
+                           jnp.asarray((vals & 0xFFFFFFFF).astype(np.uint32))))
+        idx = (x_index >> np.uint32(shift)).astype(np.uint32)
+        idxs.append(jnp.asarray(idx))
+        depths.append(d)
+        sib = np.zeros((B, Q, d, 16), dtype=np.uint32)
+        cap = np.zeros((B, 1 << cap_height, 16), dtype=np.uint32)
+        for b in range(B):
+            for q in range(Q):
+                cur = pb_ref.hash_or_noop([int(v) for v in vals[b, q]])
+                ix = int(idx[b, q])
+                for l in range(d):
+                    s = int(rng.integers(0, 2**62)) * int(
+                        rng.integers(0, 2**62)) % frops.P_INT
+                    sib[b, q, l] = limbs(s)
+                    cur = (pb_ref.two_to_one(s, cur) if ix & 1
+                           else pb_ref.two_to_one(cur, s))
+                    ix >>= 1
+                cap[b, int(x_index[b, q]) >> (lde_bits - cap_height)] = \
+                    limbs(cur)
+        sibs.append(jnp.asarray(sib))
+        caps.append(jnp.asarray(cap))
+
+    # tamper lane (b=1, q=2): corrupt slot 1's level-0 sibling
+    sibs[1] = sibs[1].at[1, 2, 0, 0].set(sibs[1][1, 2, 0, 0] ^ 1)
+
+    plane_fn = smart_jit(lambda ld, ix, sb, cp, ci:
+                         fri._bn254_merkle_planes_verdict(
+                             H, ld, ix, sb, tuple(depths), cp, ci, d_max))
+    got_plane = np.asarray(plane_fn(leaf_datas, idxs, sibs, caps, cap_index))
+
+    def merged(ld_list, ix, sb, cp, ci):
+        nodes = [H.leaf_hash(ld) for ld in ld_list]
+        sibs_p = [s if d == d_max else H.pad_level_axis(s, 1, d_max - d)
+                  for s, d in zip(sb, depths)]
+        return fri.merged_merkle_verdict(
+            H, H.stack(nodes, 2), jnp.stack(ix, axis=-1), H.stack(sibs_p, 2),
+            tuple(depths), H.stack(cp, 1), ci)
+
+    got_merged = np.asarray(
+        smart_jit(merged)(leaf_datas, idxs, sibs, caps, cap_index))
+
+    assert got_plane.shape == got_merged.shape == (B, Q, len(slot_cfg))
+    assert np.array_equal(got_plane, got_merged)
+    want = np.ones((B, Q, 3), dtype=bool)
+    want[1, 2, 1] = False
+    assert np.array_equal(got_plane, want)

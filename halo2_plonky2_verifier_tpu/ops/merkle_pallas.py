@@ -26,10 +26,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..constants.poseidon_goldilocks import N_ROUNDS, SPONGE_WIDTH
+from ..constants.poseidon_goldilocks import SPONGE_WIDTH
 from . import goldilocks as gl
-from .poseidon_pallas import (_RC_HI, _RC_LO, _permute_planes,
-                              mds_operand, mds_spec)
+from .poseidon_pallas import (_permute_planes, default_groups, from_groups,
+                              mds_operand, mds_spec, rc_planes, rc_spec,
+                              to_groups)
 
 W = SPONGE_WIDTH
 _TILE = 512  # lanes per grid step (multiple of 128)
@@ -37,30 +38,38 @@ _TILE = 512  # lanes per grid step (multiple of 128)
 
 def _path_kernel(rc_hi_ref, rc_lo_ref, mds_ref, node_hi_ref, node_lo_ref,
                  sib_hi_ref, sib_lo_ref, idx_ref, act_ref,
-                 out_hi_ref, out_lo_ref):
+                 out_hi_ref, out_lo_ref, *, groups=1):
     """One tile of Merkle paths: fori_loop over levels, each level doing a
-    full in-VMEM two_to_one compression (merkle/mod.rs:69-74 semantics)."""
-    d_max = sib_hi_ref.shape[0]
+    full in-VMEM two_to_one compression (merkle/mod.rs:69-74 semantics).
+
+    groups=G>1: element-major multi-state planes — node rows are e*G+g,
+    idx/act rows are per-group, level l's act rows are l*G..l*G+G."""
+    g = groups
+    d_max = sib_hi_ref.shape[0] // (4 * g)
     rc_hi = rc_hi_ref[:]
     rc_lo = rc_lo_ref[:]
     mds_a = mds_ref[:]
 
+    def tile4(m):                                    # (G,T) mask -> (4G,T)
+        return m if g == 1 else jnp.concatenate([m] * 4, axis=0)
+
     def level(l, carry):
-        nh, nl, idx = carry                          # (4,T), (4,T), (1,T)
-        sh = sib_hi_ref[l]                           # (4, T)
-        sl = sib_lo_ref[l]
-        bit = (idx & np.uint32(1)) == np.uint32(1)   # (1,T): node is right child
-        lh = jnp.where(bit, sh, nh)
-        ll = jnp.where(bit, sl, nl)
-        rh = jnp.where(bit, nh, sh)
-        rl = jnp.where(bit, nl, sl)
+        nh, nl, idx = carry                          # (4G,T), (4G,T), (G,T)
+        sh = sib_hi_ref[pl.ds(l * 4 * g, 4 * g), :]  # (4G, T)
+        sl = sib_lo_ref[pl.ds(l * 4 * g, 4 * g), :]
+        bit = (idx & np.uint32(1)) == np.uint32(1)   # (G,T): node is right child
+        bit4 = tile4(bit)
+        lh = jnp.where(bit4, sh, nh)
+        ll = jnp.where(bit4, sl, nl)
+        rh = jnp.where(bit4, nh, sh)
+        rl = jnp.where(bit4, nl, sl)
         z = jnp.zeros_like(lh)
-        st_h = jnp.concatenate([lh, rh, z], axis=0)  # (12, T)
+        st_h = jnp.concatenate([lh, rh, z], axis=0)  # (12G, T)
         st_l = jnp.concatenate([ll, rl, z], axis=0)
-        oh, ol = _permute_planes(st_h, st_l, rc_hi, rc_lo, mds_a)
-        act = act_ref[pl.ds(l, 1), :] == np.uint32(1)  # (1, T)
-        nh = jnp.where(act, oh[:4, :], nh)
-        nl = jnp.where(act, ol[:4, :], nl)
+        oh, ol = _permute_planes(st_h, st_l, rc_hi, rc_lo, mds_a, groups=g)
+        act = tile4(act_ref[pl.ds(l * g, g), :] == np.uint32(1))
+        nh = jnp.where(act, oh[:4 * g, :], nh)
+        nl = jnp.where(act, ol[:4 * g, :], nl)
         idx = idx >> np.uint32(1)
         return nh, nl, idx
 
@@ -70,7 +79,8 @@ def _path_kernel(rc_hi_ref, rc_lo_ref, mds_ref, node_hi_ref, node_lo_ref,
     out_lo_ref[:] = nl
 
 
-def verify_paths_planes(node, siblings, idx, active, interpret=False):
+def verify_paths_planes(node, siblings, idx, active, interpret=False,
+                        groups=None):
     """Run all Merkle path loops fused.
 
     node:     (hi, lo) pair of (4, N) u32 leaf-hash planes
@@ -78,10 +88,15 @@ def verify_paths_planes(node, siblings, idx, active, interpret=False):
     idx:      (N,) u32 leaf indices within each path's tree
     active:   (d_max, N) u32 per-level masks (1 while level < slot depth)
     Returns (hi, lo) pair of (4, N) root-node planes (compare vs cap outside).
-    """
+
+    With POSEIDON_GROUPS=G>1 the tile is regrouped element-major (G states
+    per sublane stack) outside the kernel; siblings flatten their level axis
+    into sublanes ((d_max, 4, N) -> (d_max*4G, N/G)) so the whole kernel is
+    2-D."""
+    g = default_groups() if groups is None else groups
     n = node[0].shape[1]
     d_max = siblings[0].shape[0]
-    n_pad = -n % _TILE
+    n_pad = -n % (_TILE * g)
     idx2 = idx[None, :]
     nh, nl = node
     sh, sl = siblings
@@ -93,28 +108,40 @@ def verify_paths_planes(node, siblings, idx, active, interpret=False):
         sl = jnp.pad(sl, ((0, 0), (0, 0), (0, n_pad)))
         idx2 = jnp.pad(idx2, ((0, 0), (0, n_pad)))
         act = jnp.pad(act, ((0, 0), (0, n_pad)))
+    padded = nh.shape[1]
+    if g > 1:
+        nh, nl = to_groups(nh, g), to_groups(nl, g)          # (4G, N/G)
+        # (d,4,N) -> (d*4G, N/G): level-l sibling rows at l*4G..(l+1)*4G
+        sh = to_groups(sh.reshape(d_max * 4, padded), g)
+        sl = to_groups(sl.reshape(d_max * 4, padded), g)
+        idx2 = to_groups(idx2, g)                            # (G, N/G)
+        act = to_groups(act, g)                              # (dG, N/G)
+    else:
+        sh = sh.reshape(d_max * 4, padded)
+        sl = sl.reshape(d_max * 4, padded)
     total = nh.shape[1]
     grid = (total // _TILE,)
-    h_spec = pl.BlockSpec((4, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
-    sib_spec = pl.BlockSpec((d_max, 4, _TILE), lambda i: (0, 0, i),
+    h_spec = pl.BlockSpec((4 * g, _TILE), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+    sib_spec = pl.BlockSpec((d_max * 4 * g, _TILE), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
-    idx_spec = pl.BlockSpec((1, _TILE), lambda i: (0, i),
+    idx_spec = pl.BlockSpec((g, _TILE), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
-    act_spec = pl.BlockSpec((d_max, _TILE), lambda i: (0, i),
+    act_spec = pl.BlockSpec((d_max * g, _TILE), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
-    rc_spec = pl.BlockSpec((W, N_ROUNDS), lambda i: (0, 0),
-                           memory_space=pltpu.VMEM)
+    rch, rcl = rc_planes(g)
     out_hi, out_lo = pl.pallas_call(
-        _path_kernel,
+        functools.partial(_path_kernel, groups=g),
         grid=grid,
-        in_specs=[rc_spec, rc_spec, mds_spec(), h_spec, h_spec, sib_spec,
-                  sib_spec, idx_spec, act_spec],
+        in_specs=[rc_spec(g), rc_spec(g), mds_spec(g), h_spec, h_spec,
+                  sib_spec, sib_spec, idx_spec, act_spec],
         out_specs=(h_spec, h_spec),
-        out_shape=(jax.ShapeDtypeStruct((4, total), jnp.uint32),
-                   jax.ShapeDtypeStruct((4, total), jnp.uint32)),
+        out_shape=(jax.ShapeDtypeStruct((4 * g, total), jnp.uint32),
+                   jax.ShapeDtypeStruct((4 * g, total), jnp.uint32)),
         interpret=interpret,
-    )(jnp.asarray(_RC_HI), jnp.asarray(_RC_LO), mds_operand(),
-      nh, nl, sh, sl, idx2, act)
+    )(rch, rcl, mds_operand(g), nh, nl, sh, sl, idx2, act)
+    if g > 1:
+        out_hi, out_lo = from_groups(out_hi, g), from_groups(out_lo, g)
     if n_pad:
         out_hi = out_hi[:, :n]
         out_lo = out_lo[:, :n]
@@ -122,53 +149,63 @@ def verify_paths_planes(node, siblings, idx, active, interpret=False):
 
 
 def _sponge_kernel(rc_hi_ref, rc_lo_ref, mds_ref, in_hi_ref, in_lo_ref,
-                   out_hi_ref, out_lo_ref):
-    """Leaf sponge over (w, T) planes: overwrite-mode rate-8 absorb, output =
+                   out_hi_ref, out_lo_ref, *, groups=1):
+    """Leaf sponge over (wG, T) planes: overwrite-mode rate-8 absorb, output =
     first 4 state elements (plonky2 hash_n_to_m_no_pad; permutation.rs:286-305,
-    hash.rs:162-184).  w static, so the chunk loop unrolls at trace time."""
-    w = in_hi_ref.shape[0]
+    hash.rs:162-184).  w static, so the chunk loop unrolls at trace time.
+    Element-major rows: input element e of group g at row e*G+g, so a
+    k-element chunk is the aligned rows off*G..(off+k)*G."""
+    g = groups
+    w = in_hi_ref.shape[0] // g
     t = in_hi_ref.shape[1]
     rc_hi = rc_hi_ref[:]
     rc_lo = rc_lo_ref[:]
     mds_a = mds_ref[:]
-    st_h = jnp.zeros((W, t), jnp.uint32)
-    st_l = jnp.zeros((W, t), jnp.uint32)
+    st_h = jnp.zeros((W * g, t), jnp.uint32)
+    st_l = jnp.zeros((W * g, t), jnp.uint32)
     off = 0
     while off < w:
         k = min(8, w - off)
-        st_h = jnp.concatenate([in_hi_ref[off:off + k, :], st_h[k:, :]], axis=0)
-        st_l = jnp.concatenate([in_lo_ref[off:off + k, :], st_l[k:, :]], axis=0)
-        st_h, st_l = _permute_planes(st_h, st_l, rc_hi, rc_lo, mds_a)
+        st_h = jnp.concatenate(
+            [in_hi_ref[off * g:(off + k) * g, :], st_h[k * g:, :]], axis=0)
+        st_l = jnp.concatenate(
+            [in_lo_ref[off * g:(off + k) * g, :], st_l[k * g:, :]], axis=0)
+        st_h, st_l = _permute_planes(st_h, st_l, rc_hi, rc_lo, mds_a,
+                                     groups=g)
         off += k
-    out_hi_ref[:] = st_h[:4, :]
-    out_lo_ref[:] = st_l[:4, :]
+    out_hi_ref[:] = st_h[:4 * g, :]
+    out_lo_ref[:] = st_l[:4 * g, :]
 
 
-def hash_no_pad_planes(inputs, interpret=False):
+def hash_no_pad_planes(inputs, interpret=False, groups=None):
     """(hi, lo) pair of (w, N) planes -> (4, N) hash planes, fully in-VMEM."""
+    g = default_groups() if groups is None else groups
     hi, lo = inputs
     w, n = hi.shape
-    n_pad = -n % _TILE
+    n_pad = -n % (_TILE * g)
     if n_pad:
         hi = jnp.pad(hi, ((0, 0), (0, n_pad)))
         lo = jnp.pad(lo, ((0, 0), (0, n_pad)))
+    if g > 1:
+        hi, lo = to_groups(hi, g), to_groups(lo, g)
     total = hi.shape[1]
     grid = (total // _TILE,)
-    in_spec = pl.BlockSpec((w, _TILE), lambda i: (0, i),
+    in_spec = pl.BlockSpec((w * g, _TILE), lambda i: (0, i),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((4, _TILE), lambda i: (0, i),
+    out_spec = pl.BlockSpec((4 * g, _TILE), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
-    rc_spec = pl.BlockSpec((W, N_ROUNDS), lambda i: (0, 0),
-                           memory_space=pltpu.VMEM)
+    rch, rcl = rc_planes(g)
     out_hi, out_lo = pl.pallas_call(
-        _sponge_kernel,
+        functools.partial(_sponge_kernel, groups=g),
         grid=grid,
-        in_specs=[rc_spec, rc_spec, mds_spec(), in_spec, in_spec],
+        in_specs=[rc_spec(g), rc_spec(g), mds_spec(g), in_spec, in_spec],
         out_specs=(out_spec, out_spec),
-        out_shape=(jax.ShapeDtypeStruct((4, total), jnp.uint32),
-                   jax.ShapeDtypeStruct((4, total), jnp.uint32)),
+        out_shape=(jax.ShapeDtypeStruct((4 * g, total), jnp.uint32),
+                   jax.ShapeDtypeStruct((4 * g, total), jnp.uint32)),
         interpret=interpret,
-    )(jnp.asarray(_RC_HI), jnp.asarray(_RC_LO), mds_operand(), hi, lo)
+    )(rch, rcl, mds_operand(g), hi, lo)
+    if g > 1:
+        out_hi, out_lo = from_groups(out_hi, g), from_groups(out_lo, g)
     if n_pad:
         out_hi = out_hi[:, :n]
         out_lo = out_lo[:, :n]

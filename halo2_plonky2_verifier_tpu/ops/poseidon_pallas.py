@@ -64,16 +64,67 @@ for _m in range(8):
 _MASK8 = np.uint32(0xFF)
 
 
-def mds_operand():
-    """The (96, 96) bf16 MDS matmul operand (kernels can't capture array
-    constants — every fused kernel passes this explicitly)."""
-    return jnp.asarray(_MDS_A, dtype=jnp.bfloat16)
+def mds_operand(groups=1):
+    """The bf16 MDS matmul operand (kernels can't capture array constants —
+    every fused kernel passes this explicitly).
+
+    groups=1: the (128, 96) limb-stacked block-diagonal operator (input = the
+    8 byte planes of one (12, T) state concatenated on sublanes).
+    groups>1: the (12G, 12G) element-major operator kron(MDS, I_G) — input is
+    ONE byte plane of a (12G, T) multi-state block (row = element*G + group),
+    applied once per byte plane.  Entries are identical to the g=1 matrix so
+    the same exactness bound holds (f32 sums < 2^17)."""
+    if groups == 1:
+        return jnp.asarray(_MDS_A, dtype=jnp.bfloat16)
+    return jnp.asarray(np.kron(_MDS_FULL, np.eye(groups, dtype=np.float32)),
+                       dtype=jnp.bfloat16)
 
 
-def mds_spec():
+def mds_spec(groups=1):
     """BlockSpec for the MDS operand (whole matrix in VMEM, any grid)."""
-    return pl.BlockSpec((128, 8 * W), lambda *i: (0, 0),
+    if groups == 1:
+        return pl.BlockSpec((128, 8 * W), lambda *i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((W * groups, W * groups), lambda *i: (0, 0),
                         memory_space=pltpu.VMEM)
+
+
+def rc_planes(groups=1):
+    """Round-constant planes, rows repeated per group (row = element*G+g)."""
+    if groups == 1:
+        return jnp.asarray(_RC_HI), jnp.asarray(_RC_LO)
+    return (jnp.asarray(np.repeat(_RC_HI, groups, axis=0)),
+            jnp.asarray(np.repeat(_RC_LO, groups, axis=0)))
+
+
+def rc_spec(groups=1):
+    return pl.BlockSpec((W * groups, N_ROUNDS), lambda *i: (0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def default_groups():
+    """Sublane state-group count for the fused kernels (POSEIDON_GROUPS).
+
+    G>1 stacks G independent sponge states on the sublane axis in
+    element-major order (row = element*G + group): the partial-round sbox
+    becomes an aligned (G, T) block instead of a 1/8-utilized (1, T) row,
+    and every elementwise op packs 12G rows into full 8-sublane vregs
+    (12 rows waste 4/8 sublanes of their second vreg tile)."""
+    return int(_os.environ.get("POSEIDON_GROUPS", "1"))
+
+
+def to_groups(x, groups):
+    """(r, N) -> (r*G, N/G) element-major regroup: out[e*G+g, t] =
+    x[e, g*(N/G)+t].  N must be a multiple of G (pad first)."""
+    r, n = x.shape
+    return x.reshape(r, groups, n // groups).reshape(r * groups, n // groups)
+
+
+def from_groups(x, groups):
+    """Inverse of to_groups: (r*G, M) -> (r, M*G)."""
+    rg, m = x.shape
+    r = rg // groups
+    return x.reshape(r, groups, m).reshape(r, groups * m)
 
 
 def _sbox(x):
@@ -107,6 +158,11 @@ def _mds_planes_mxu(hi, lo, mds_a):
             jnp.uint32)                                         # exact < 2^17
     ys = [y[m * 16:m * 16 + W] for m in range(8)]
     cols = [ys[2 * k] + (ys[2 * k + 1] << 8) for k in range(4)]  # < 2^26
+    return _recombine_cols(cols)
+
+
+def _recombine_cols(cols):
+    """Four (r, T) u32 16-bit-column planes (< 2^26) -> lazy (hi, lo)."""
     out_limbs = []
     carry = jnp.zeros_like(cols[0])
     for k in range(4):
@@ -116,6 +172,28 @@ def _mds_planes_mxu(hi, lo, mds_a):
     lo64 = gl.from_limbs16(out_limbs)
     hi64 = (jnp.zeros_like(carry), carry)
     return gl.reduce128_lazy(hi64, lo64)
+
+
+def _mds_planes_mxu_grouped(hi, lo, mds_g):
+    """MDS over element-major (12G, T) lazy planes: kron(MDS, I_G) applied on
+    the MXU once per 8-bit byte plane (8 matmuls of (12G,12G)@(12G,T)).
+
+    Unlike the g=1 form there is NO sublane slicing anywhere: each byte plane
+    is a full-array operand and each product a full-array result; the
+    per-group mixing is entirely inside the matmul.  Exactness matches the
+    g=1 operand (entries <= 49, 8-bit inputs, f32 sums < 2^17)."""
+    l16 = [lo & _MASK16, lo >> 16, hi & _MASK16, hi >> 16]
+    ys = []
+    for v in l16:
+        for sh in (0, 8):
+            x = ((v >> sh) & _MASK8).astype(jnp.int32).astype(
+                jnp.float32).astype(jnp.bfloat16)
+            ys.append(jax.lax.dot_general(
+                mds_g, x, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32).astype(
+                    jnp.uint32))
+    cols = [ys[2 * k] + (ys[2 * k + 1] << 8) for k in range(4)]  # < 2^26
+    return _recombine_cols(cols)
 
 
 def _mds_planes(hi, lo):
@@ -150,32 +228,44 @@ import os as _os
 _MDS_MXU = _os.environ.get("POSEIDON_MDS", "mxu") == "mxu"
 
 
-def _permute_planes(hi, lo, rc_hi, rc_lo, mds_a=None):
-    """Full 30-round permutation on (12, T) hi/lo planes (unrolled).
-    rc_hi/rc_lo: (12, 30) round-constant planes; mds_a: the (96, 96) bf16
-    MDS operand from mds_operand() (None -> VPU roll formulation).
+def _permute_planes(hi, lo, rc_hi, rc_lo, mds_a=None, groups=1):
+    """Full 30-round permutation on (12G, T) hi/lo planes (unrolled).
+
+    groups=1 (the classic layout): rows are the 12 state elements;
+    rc_hi/rc_lo are the (12, 30) round-constant planes and mds_a the
+    (128, 96) limb-stacked operand (None -> VPU roll formulation).
+
+    groups=G>1 (element-major multi-state): row e*G+g is element e of
+    independent state g; rc planes are row-repeated (rc_planes(G)) and mds_a
+    is the (12G, 12G) kron(MDS, I_G) operand.  Wins vs G=1: the
+    partial-round sbox runs on the aligned (G, T) block state[:G] instead of
+    a 1/8-utilized (1, T) row, and 12G rows pack into full 8-sublane vregs
+    ((12, T) wastes 4/8 sublanes of its second vreg tile).  An in-kernel
+    (1,T)->(8,T/8) repack and a limb-convolution sbox were both tried and
+    measured neutral-to-negative (bench 32.7k vs 31.9k proofs/s); the
+    multi-state layout removes the waste without any relayout ops.
 
     Rounds run in the lazy (< 2^64, non-canonical) representation — one
     canonicalization at the very end instead of a compare+select tail on
     every add/mul/reduce (ops.goldilocks lazy variants, bounds in-line
     there)."""
     use_mxu = _MDS_MXU and mds_a is not None
+    if groups > 1 and not use_mxu:
+        raise ValueError("grouped permutation requires the MXU MDS operand")
     state = (hi, lo)
     for rnd in range(N_ROUNDS):
-        rc = (rc_hi[:, rnd:rnd + 1], rc_lo[:, rnd:rnd + 1])   # (12, 1)
+        rc = (rc_hi[:, rnd:rnd + 1], rc_lo[:, rnd:rnd + 1])   # (12G, 1)
         state = gl.add_lazy(state, rc)
         if HALF_N_FULL_ROUNDS <= rnd < HALF_N_FULL_ROUNDS + N_PARTIAL_ROUNDS:
-            # NOTE: the (1, T) sbox runs at 1/8 sublane utilization; a
-            # limb-convolution (8,T) formulation and Mosaic-side repacking
-            # were both tried and measured neutral-to-negative in situ
-            # (bench 32.7k vs 31.9k proofs/s) — the row form stays.
-            s0 = (state[0][0:1, :], state[1][0:1, :])
+            s0 = (state[0][0:groups, :], state[1][0:groups, :])
             s0 = _sbox(s0)
-            state = (jnp.concatenate([s0[0], state[0][1:, :]], axis=0),
-                     jnp.concatenate([s0[1], state[1][1:, :]], axis=0))
+            state = (jnp.concatenate([s0[0], state[0][groups:, :]], axis=0),
+                     jnp.concatenate([s0[1], state[1][groups:, :]], axis=0))
         else:
             state = _sbox(state)
-        if use_mxu:
+        if groups > 1:
+            state = _mds_planes_mxu_grouped(state[0], state[1], mds_a)
+        elif use_mxu:
             state = _mds_planes_mxu(state[0], state[1], mds_a)
         else:
             state = _mds_planes(state[0], state[1])
@@ -183,16 +273,16 @@ def _permute_planes(hi, lo, rc_hi, rc_lo, mds_a=None):
 
 
 def _permute_kernel(rc_hi_ref, rc_lo_ref, mds_ref, hi_ref, lo_ref,
-                    oh_ref, ol_ref):
+                    oh_ref, ol_ref, *, groups=1):
     hi, lo = _permute_planes(hi_ref[:], lo_ref[:], rc_hi_ref[:], rc_lo_ref[:],
-                             mds_ref[:])
+                             mds_ref[:], groups=groups)
     oh_ref[:] = hi
     ol_ref[:] = lo
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def permute_planes(hi, lo, interpret=False):
-    """(12, N) hi/lo u32 planes -> permuted planes; N padded to _TILE."""
+def _permute_planes_call_impl(hi, lo, interpret=False, groups=1):
+    """(12G, N') element-major planes -> permuted; N' padded to _TILE."""
+    g = groups
     n = hi.shape[1]
     n_pad = -n % _TILE
     if n_pad:
@@ -200,38 +290,68 @@ def permute_planes(hi, lo, interpret=False):
         lo = jnp.pad(lo, ((0, 0), (0, n_pad)))
     total = hi.shape[1]
     grid = (total // _TILE,)
-    spec = pl.BlockSpec((W, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
-    rc_spec = pl.BlockSpec((W, N_ROUNDS), lambda i: (0, 0),
-                           memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((W * g, _TILE), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    rch, rcl = rc_planes(g)
     out_hi, out_lo = pl.pallas_call(
-        _permute_kernel,
+        functools.partial(_permute_kernel, groups=g),
         grid=grid,
-        in_specs=[rc_spec, rc_spec, mds_spec(), spec, spec],
+        in_specs=[rc_spec(g), rc_spec(g), mds_spec(g), spec, spec],
         out_specs=(spec, spec),
-        out_shape=(jax.ShapeDtypeStruct((W, total), jnp.uint32),
-                   jax.ShapeDtypeStruct((W, total), jnp.uint32)),
+        out_shape=(jax.ShapeDtypeStruct((W * g, total), jnp.uint32),
+                   jax.ShapeDtypeStruct((W * g, total), jnp.uint32)),
         interpret=interpret,
-    )(jnp.asarray(_RC_HI), jnp.asarray(_RC_LO), mds_operand(), hi, lo)
+    )(rch, rcl, mds_operand(g), hi, lo)
     if n_pad:
         out_hi = out_hi[:, :n]
         out_lo = out_lo[:, :n]
     return out_hi, out_lo
 
 
-@functools.partial(jax.jit, static_argnames=("chain", "interpret"))
-def permute_planes_chained(hi, lo, chain, interpret=False):
-    """`chain` serial permutations with the state VMEM-resident throughout —
-    one HBM read and one write TOTAL.  This is the speed-of-light probe for
-    the roofline accounting (tools/sol_bench.py): it measures the pure
-    compute rate of the permutation with no per-call memory traffic, which
-    is the ceiling the fused Merkle/transcript kernels run against."""
+@functools.lru_cache(maxsize=None)
+def _jitted_variant(fn, interpret, groups):
+    """Per-(interpret, groups) smart_jit wrapper: jax.jit on TPU, fusion-pass
+    disabled on CPU (the XLA:CPU pathology — utils/compile.py)."""
+    from ..utils.compile import smart_jit
+
+    return smart_jit(functools.partial(fn, interpret=interpret,
+                                       groups=groups))
+
+
+def _permute_planes_call(hi, lo, interpret=False, groups=1):
+    return _jitted_variant(_permute_planes_call_impl, interpret, groups)(
+        hi, lo)
+
+
+def permute_planes(hi, lo, interpret=False, groups=None):
+    """(12, N) hi/lo u32 planes -> permuted planes (lane-layout API; the
+    element-major G-group regrouping is internal, POSEIDON_GROUPS)."""
+    g = default_groups() if groups is None else groups
+    if g == 1:
+        return _permute_planes_call(hi, lo, interpret=interpret, groups=1)
+    n = hi.shape[1]
+    n_pad = -n % g
+    if n_pad:
+        hi = jnp.pad(hi, ((0, 0), (0, n_pad)))
+        lo = jnp.pad(lo, ((0, 0), (0, n_pad)))
+    oh, ol = _permute_planes_call(to_groups(hi, g), to_groups(lo, g),
+                                  interpret=interpret, groups=g)
+    oh, ol = from_groups(oh, g), from_groups(ol, g)
+    if n_pad:
+        oh, ol = oh[:, :n], ol[:, :n]
+    return oh, ol
+
+
+def _permute_chained_call_impl(hi, lo, chain, interpret=False, groups=1):
+    g = groups
 
     def kernel(rc_hi_ref, rc_lo_ref, mds_ref, hi_ref, lo_ref, oh_ref, ol_ref):
         rc_hi, rc_lo = rc_hi_ref[:], rc_lo_ref[:]
         mds_a = mds_ref[:]
 
         def body(_, st):
-            return _permute_planes(st[0], st[1], rc_hi, rc_lo, mds_a)
+            return _permute_planes(st[0], st[1], rc_hi, rc_lo, mds_a,
+                                   groups=g)
 
         hi_out, lo_out = jax.lax.fori_loop(
             0, chain, body, (hi_ref[:], lo_ref[:]))
@@ -245,22 +365,58 @@ def permute_planes_chained(hi, lo, chain, interpret=False):
         lo = jnp.pad(lo, ((0, 0), (0, n_pad)))
     total = hi.shape[1]
     grid = (total // _TILE,)
-    spec = pl.BlockSpec((W, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
-    rc_spec = pl.BlockSpec((W, N_ROUNDS), lambda i: (0, 0),
-                           memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((W * g, _TILE), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    rch, rcl = rc_planes(g)
     out_hi, out_lo = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[rc_spec, rc_spec, mds_spec(), spec, spec],
+        in_specs=[rc_spec(g), rc_spec(g), mds_spec(g), spec, spec],
         out_specs=(spec, spec),
-        out_shape=(jax.ShapeDtypeStruct((W, total), jnp.uint32),
-                   jax.ShapeDtypeStruct((W, total), jnp.uint32)),
+        out_shape=(jax.ShapeDtypeStruct((W * g, total), jnp.uint32),
+                   jax.ShapeDtypeStruct((W * g, total), jnp.uint32)),
         interpret=interpret,
-    )(jnp.asarray(_RC_HI), jnp.asarray(_RC_LO), mds_operand(), hi, lo)
+    )(rch, rcl, mds_operand(g), hi, lo)
     if n_pad:
         out_hi = out_hi[:, :n]
         out_lo = out_lo[:, :n]
     return out_hi, out_lo
+
+
+@functools.lru_cache(maxsize=None)
+def _chained_variant(chain, interpret, groups):
+    from ..utils.compile import smart_jit
+
+    return smart_jit(functools.partial(_permute_chained_call_impl,
+                                       chain=chain, interpret=interpret,
+                                       groups=groups))
+
+
+def _permute_chained_call(hi, lo, chain, interpret=False, groups=1):
+    return _chained_variant(chain, interpret, groups)(hi, lo)
+
+
+def permute_planes_chained(hi, lo, chain, interpret=False, groups=None):
+    """`chain` serial permutations with the state VMEM-resident throughout —
+    one HBM read and one write TOTAL.  This is the speed-of-light probe for
+    the roofline accounting (tools/sol_bench.py): it measures the pure
+    compute rate of the permutation with no per-call memory traffic, which
+    is the ceiling the fused Merkle/transcript kernels run against."""
+    g = default_groups() if groups is None else groups
+    if g == 1:
+        return _permute_chained_call(hi, lo, chain, interpret=interpret,
+                                     groups=1)
+    n = hi.shape[1]
+    n_pad = -n % g
+    if n_pad:
+        hi = jnp.pad(hi, ((0, 0), (0, n_pad)))
+        lo = jnp.pad(lo, ((0, 0), (0, n_pad)))
+    oh, ol = _permute_chained_call(to_groups(hi, g), to_groups(lo, g), chain,
+                                   interpret=interpret, groups=g)
+    oh, ol = from_groups(oh, g), from_groups(ol, g)
+    if n_pad:
+        oh, ol = oh[:, :n], ol[:, :n]
+    return oh, ol
 
 
 def permute(state, interpret=False):

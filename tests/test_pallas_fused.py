@@ -207,7 +207,7 @@ def test_poseidon_kernel_mds_paths():
         for mxu, n in ((True, 256), (False, 384)):
             pp._MDS_MXU = mxu
             f = smart_jit(functools.partial(
-                pp.permute_planes.__wrapped__, interpret=True))
+                pp._permute_planes_call_impl, interpret=True))
             s = rand_u64((12, n))
             hi, lo = gl_ops.from_u64(s)
             want = np.array([pos_ref.permute([int(v) for v in s[:, i]])

@@ -37,7 +37,7 @@ def main():
     from halo2_plonky2_verifier_tpu.utils.compile import smart_jit
 
     num_rows = int(os.environ.get("BENCH_NUM_ROWS", "32"))
-    bench_config = os.environ.get("BENCH_CONFIG", "gl")  # gl | bn254
+    bench_config = os.environ.get("BENCH_CONFIG", "gl")  # gl | bn254 | plonk
     batch_size = int(os.environ.get("BENCH_BATCH", "1024"))
     # sub-batches scanned inside one jit call: amortizes dispatch overhead
     # while keeping the per-step working set cache-friendly
@@ -47,14 +47,25 @@ def main():
     distinct = min(int(os.environ.get("BENCH_DISTINCT", "32")), batch_size)
     from halo2_plonky2_verifier_tpu.refimpl import hashers
     from halo2_plonky2_verifier_tpu.refimpl.fixtures import (
-        get_fibonacci_batch_columnar)
-    hasher_ref = hashers.BN254 if bench_config == "bn254" else None
-    hasher = "poseidon_bn254" if bench_config == "bn254" else "poseidon_goldilocks"
+        get_fibonacci_batch_columnar, get_plonk_proof_batch)
     t_load = time.time()
-    stark, config, batch = get_fibonacci_batch_columnar(
-        num_rows, distinct, hasher=hasher_ref)
-    degree_bits = batch.shape.degree_bits
-    shape = batch.shape
+    if bench_config == "plonk":
+        # plonky2-PLONK proofs of the bench circuit at the
+        # standard_recursion_config FRI shape (rate 1/8, 28 queries, arity 16)
+        from halo2_plonky2_verifier_tpu.plonk import (
+            build_plonk_verifier, load_plonk_proofs, plonk_proof_shape)
+        common, verifier_data, proofs = get_plonk_proof_batch(distinct)
+        pshape = plonk_proof_shape(common, len(proofs[0].public_inputs))
+        batch = load_plonk_proofs(proofs, pshape, verifier_data)
+        degree_bits = common.degree_bits
+    else:
+        hasher_ref = hashers.BN254 if bench_config == "bn254" else None
+        hasher = ("poseidon_bn254" if bench_config == "bn254"
+                  else "poseidon_goldilocks")
+        stark, config, batch = get_fibonacci_batch_columnar(
+            num_rows, distinct, hasher=hasher_ref)
+        degree_bits = batch.shape.degree_bits
+        shape = batch.shape
     if batch_size > distinct:
         # tile the columnar batch up to batch_size (array-level, no per-proof
         # work)
@@ -64,7 +75,10 @@ def main():
             lambda x: jnp.concatenate([x] * reps, axis=0)[:batch_size], batch)
     load_s = time.time() - t_load
 
-    verify_one = build_verifier(stark, config, degree_bits, hasher=hasher)
+    if bench_config == "plonk":
+        verify_one = build_plonk_verifier(common, verifier_data)
+    else:
+        verify_one = build_verifier(stark, config, degree_bits, hasher=hasher)
     batch_small, small_size = batch, batch_size  # for the op census
     if sub_batches > 1:
         batch = jax.tree_util.tree_map(
@@ -103,6 +117,8 @@ def main():
     metric = "fib_stark_fri_verifications_per_sec_per_chip"
     if bench_config == "bn254":
         metric = "fib_stark_fri_verifications_per_sec_per_chip_bn254"
+    elif bench_config == "plonk":
+        metric = "plonky2_plonk_verifications_per_sec_per_chip"
     result = {
         "metric": metric,
         "value": round(proofs_per_sec, 1),

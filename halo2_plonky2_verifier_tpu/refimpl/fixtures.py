@@ -125,3 +125,62 @@ def get_fibonacci_batch_columnar(num_rows, count, config=None, cache_dir=None,
     batch = load_proofs(proofs, shape)
     save_batch_npz(npz, batch)
     return stark, config, batch
+
+
+def bench_plonk_circuit(cfg=None, steps=60):
+    """Deterministic PLONK bench circuit: a Fibonacci chain plus one of each
+    arithmetic-family gate (mul, full arithmetic op, exponentiation, base-sum
+    range decomposition) so the gate-filter path is exercised, not just
+    ArithmeticGate.  Mirrors the shape of the reference's WIP PLONK roadmap
+    target (/root/reference/README.md:5-12) at plonky2's
+    standard_recursion_config FRI parameters."""
+    from ..utils.config import FriConfig
+    from .plonk import CircuitBuilder, CircuitConfig
+
+    if cfg is None:
+        cfg = CircuitConfig(fri_config=FriConfig(
+            rate_bits=3, cap_height=4, proof_of_work_bits=16,
+            reduction_strategy=(4, 5), num_query_rounds=28))
+    b = CircuitBuilder(cfg)
+    a = b.add_input()
+    x = b.add_input()
+    b.register_public_input(a)
+    b.register_public_input(x)
+    cur, prev = x, a
+    for _ in range(steps):
+        cur, prev = b.add(cur, prev), cur
+    y = b.mul(cur, cur)
+    e = b.exp(b.constant(3), b.constant(5), 3)   # 3^5, small enough to split
+    b.split_le(e, 15)
+    z = b.arithmetic(3, 5, y, b.constant(2), cur)
+    b.register_public_input(z)
+    return b, (a, x)
+
+
+def get_plonk_proof_batch(count, steps=60, cache_dir=None):
+    """`count` DISTINCT plonky2-PLONK proofs of the bench circuit (varying
+    private inputs), cached as one JSON-lines file.
+
+    Returns (common, verifier_data, proofs)."""
+    from .plonk import (plonk_proof_from_json, plonk_proof_to_json, prove,
+                        verify)
+
+    cache_dir = cache_dir or FIXTURE_DIR
+    b, (a, x) = bench_plonk_circuit(steps=steps)
+    common, prover_data, verifier_data, builder = b.build()
+    path = os.path.join(cache_dir, f"plonk_fib_s{steps}_x{count}.jsonl")
+    if os.path.exists(path):
+        with open(path) as f:
+            proofs = [plonk_proof_from_json(line) for line in f if line.strip()]
+        if len(proofs) >= count:
+            return common, verifier_data, proofs[:count]
+    proofs = [prove(common, prover_data, builder,
+                    {a: (2 * k + 1) % gl.P, x: (3 * k + 2) % gl.P})
+              for k in range(count)]
+    for pwp in proofs:
+        verify(common, verifier_data, pwp)
+    os.makedirs(cache_dir, exist_ok=True)
+    with open(path, "w") as f:
+        for pwp in proofs:
+            f.write(plonk_proof_to_json(pwp) + "\n")
+    return common, verifier_data, proofs

@@ -43,22 +43,28 @@ def _path_kernel(rc_hi_ref, rc_lo_ref, mds_ref, node_hi_ref, node_lo_ref,
     full in-VMEM two_to_one compression (merkle/mod.rs:69-74 semantics).
 
     groups=G>1: element-major multi-state planes — node rows are e*G+g,
-    idx/act rows are per-group, level l's act rows are l*G..l*G+G."""
+    idx/act rows are per-group.  Siblings and act masks are 3-D
+    (d_max, rows, T) refs indexed by the dynamic level l on the LEADING
+    (untiled) axis — Mosaic cannot prove sublane alignment for a dynamic
+    multi-row offset like l*4G on a 2-D ref ("index in dimension 0 is a
+    multiple of 8" compile failure), but a dynamic leading index is fine."""
     g = groups
-    d_max = sib_hi_ref.shape[0] // (4 * g)
+    d_max = sib_hi_ref.shape[0]
     rc_hi = rc_hi_ref[:]
     rc_lo = rc_lo_ref[:]
     mds_a = mds_ref[:]
 
-    def tile4(m):                                    # (G,T) mask -> (4G,T)
-        return m if g == 1 else jnp.concatenate([m] * 4, axis=0)
+    def tile4(m):                                    # (G,T) u32 mask -> (4G,T) i1
+        # concat in u32 THEN compare: Mosaic cannot concat i1 vregs (lowers to
+        # an invalid bitcast_vreg i1->i32 at G>1)
+        m4 = m if g == 1 else jnp.concatenate([m] * 4, axis=0)
+        return m4 == np.uint32(1)
 
     def level(l, carry):
         nh, nl, idx = carry                          # (4G,T), (4G,T), (G,T)
-        sh = sib_hi_ref[pl.ds(l * 4 * g, 4 * g), :]  # (4G, T)
-        sl = sib_lo_ref[pl.ds(l * 4 * g, 4 * g), :]
-        bit = (idx & np.uint32(1)) == np.uint32(1)   # (G,T): node is right child
-        bit4 = tile4(bit)
+        sh = sib_hi_ref[l]                           # (4G, T)
+        sl = sib_lo_ref[l]
+        bit4 = tile4(idx & np.uint32(1))             # node is right child
         lh = jnp.where(bit4, sh, nh)
         ll = jnp.where(bit4, sl, nl)
         rh = jnp.where(bit4, nh, sh)
@@ -67,7 +73,7 @@ def _path_kernel(rc_hi_ref, rc_lo_ref, mds_ref, node_hi_ref, node_lo_ref,
         st_h = jnp.concatenate([lh, rh, z], axis=0)  # (12G, T)
         st_l = jnp.concatenate([ll, rl, z], axis=0)
         oh, ol = _permute_planes(st_h, st_l, rc_hi, rc_lo, mds_a, groups=g)
-        act = tile4(act_ref[pl.ds(l * g, g), :] == np.uint32(1))
+        act = tile4(act_ref[l])                      # (G, T) u32 -> (4G, T) i1
         nh = jnp.where(act, oh[:4 * g, :], nh)
         nl = jnp.where(act, ol[:4 * g, :], nl)
         idx = idx >> np.uint32(1)
@@ -90,9 +96,9 @@ def verify_paths_planes(node, siblings, idx, active, interpret=False,
     Returns (hi, lo) pair of (4, N) root-node planes (compare vs cap outside).
 
     With POSEIDON_GROUPS=G>1 the tile is regrouped element-major (G states
-    per sublane stack) outside the kernel; siblings flatten their level axis
-    into sublanes ((d_max, 4, N) -> (d_max*4G, N/G)) so the whole kernel is
-    2-D."""
+    per sublane stack) outside the kernel; siblings/act keep the level axis
+    LEADING ((d_max, 4G, N/G) / (d_max, G, N/G)) so the kernel's dynamic
+    level index lands on an untiled dim (Mosaic alignment requirement)."""
     g = default_groups() if groups is None else groups
     n = node[0].shape[1]
     d_max = siblings[0].shape[0]
@@ -111,23 +117,24 @@ def verify_paths_planes(node, siblings, idx, active, interpret=False,
     padded = nh.shape[1]
     if g > 1:
         nh, nl = to_groups(nh, g), to_groups(nl, g)          # (4G, N/G)
-        # (d,4,N) -> (d*4G, N/G): level-l sibling rows at l*4G..(l+1)*4G
-        sh = to_groups(sh.reshape(d_max * 4, padded), g)
-        sl = to_groups(sl.reshape(d_max * 4, padded), g)
+        # (d,4,N) -> (d, 4G, N/G): level axis stays leading (untiled)
+        sh = to_groups(sh.reshape(d_max * 4, padded), g).reshape(
+            d_max, 4 * g, padded // g)
+        sl = to_groups(sl.reshape(d_max * 4, padded), g).reshape(
+            d_max, 4 * g, padded // g)
         idx2 = to_groups(idx2, g)                            # (G, N/G)
-        act = to_groups(act, g)                              # (dG, N/G)
+        act = to_groups(act, g).reshape(d_max, g, padded // g)
     else:
-        sh = sh.reshape(d_max * 4, padded)
-        sl = sl.reshape(d_max * 4, padded)
+        act = act.reshape(d_max, 1, padded)
     total = nh.shape[1]
     grid = (total // _TILE,)
     h_spec = pl.BlockSpec((4 * g, _TILE), lambda i: (0, i),
                           memory_space=pltpu.VMEM)
-    sib_spec = pl.BlockSpec((d_max * 4 * g, _TILE), lambda i: (0, i),
+    sib_spec = pl.BlockSpec((d_max, 4 * g, _TILE), lambda i: (0, 0, i),
                             memory_space=pltpu.VMEM)
     idx_spec = pl.BlockSpec((g, _TILE), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
-    act_spec = pl.BlockSpec((d_max * g, _TILE), lambda i: (0, i),
+    act_spec = pl.BlockSpec((d_max, g, _TILE), lambda i: (0, 0, i),
                             memory_space=pltpu.VMEM)
     rch, rcl = rc_planes(g)
     out_hi, out_lo = pl.pallas_call(

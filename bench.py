@@ -24,17 +24,12 @@ def main():
     import jax
     import numpy as np
 
-    # persistent compilation cache: repeat bench runs skip the big compile
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
     from halo2_plonky2_verifier_tpu import build_verifier, load_proofs, proof_shape
-    from halo2_plonky2_verifier_tpu.utils.compile import smart_jit
+    from halo2_plonky2_verifier_tpu.utils.compile import (
+        enable_persistent_cache, smart_jit)
+
+    # persistent compilation cache: repeat bench runs skip the big compile
+    enable_persistent_cache()
 
     num_rows = int(os.environ.get("BENCH_NUM_ROWS", "32"))
     bench_config = os.environ.get("BENCH_CONFIG", "gl")  # gl | bn254 | plonk

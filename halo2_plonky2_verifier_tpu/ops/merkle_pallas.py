@@ -29,8 +29,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants.poseidon_goldilocks import SPONGE_WIDTH
 from . import goldilocks as gl
 from .poseidon_pallas import (_permute_planes, default_groups, from_groups,
-                              mds_operand, mds_spec, rc_planes, rc_spec,
-                              to_groups)
+                              lane_tile, mds_operand, mds_spec, rc_planes,
+                              rc_spec, to_groups)
 
 W = SPONGE_WIDTH
 _TILE = 512  # lanes per grid step (multiple of 128)
@@ -102,7 +102,8 @@ def verify_paths_planes(node, siblings, idx, active, interpret=False,
     g = default_groups() if groups is None else groups
     n = node[0].shape[1]
     d_max = siblings[0].shape[0]
-    n_pad = -n % (_TILE * g)
+    tile = lane_tile(n, g)
+    n_pad = -n % (tile * g)
     idx2 = idx[None, :]
     nh, nl = node
     sh, sl = siblings
@@ -127,14 +128,14 @@ def verify_paths_planes(node, siblings, idx, active, interpret=False,
     else:
         act = act.reshape(d_max, 1, padded)
     total = nh.shape[1]
-    grid = (total // _TILE,)
-    h_spec = pl.BlockSpec((4 * g, _TILE), lambda i: (0, i),
+    grid = (total // tile,)
+    h_spec = pl.BlockSpec((4 * g, tile), lambda i: (0, i),
                           memory_space=pltpu.VMEM)
-    sib_spec = pl.BlockSpec((d_max, 4 * g, _TILE), lambda i: (0, 0, i),
+    sib_spec = pl.BlockSpec((d_max, 4 * g, tile), lambda i: (0, 0, i),
                             memory_space=pltpu.VMEM)
-    idx_spec = pl.BlockSpec((g, _TILE), lambda i: (0, i),
+    idx_spec = pl.BlockSpec((g, tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
-    act_spec = pl.BlockSpec((d_max, g, _TILE), lambda i: (0, 0, i),
+    act_spec = pl.BlockSpec((d_max, g, tile), lambda i: (0, 0, i),
                             memory_space=pltpu.VMEM)
     rch, rcl = rc_planes(g)
     out_hi, out_lo = pl.pallas_call(
@@ -189,17 +190,18 @@ def hash_no_pad_planes(inputs, interpret=False, groups=None):
     g = default_groups() if groups is None else groups
     hi, lo = inputs
     w, n = hi.shape
-    n_pad = -n % (_TILE * g)
+    tile = lane_tile(n, g)
+    n_pad = -n % (tile * g)
     if n_pad:
         hi = jnp.pad(hi, ((0, 0), (0, n_pad)))
         lo = jnp.pad(lo, ((0, 0), (0, n_pad)))
     if g > 1:
         hi, lo = to_groups(hi, g), to_groups(lo, g)
     total = hi.shape[1]
-    grid = (total // _TILE,)
-    in_spec = pl.BlockSpec((w * g, _TILE), lambda i: (0, i),
+    grid = (total // tile,)
+    in_spec = pl.BlockSpec((w * g, tile), lambda i: (0, i),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((4 * g, _TILE), lambda i: (0, i),
+    out_spec = pl.BlockSpec((4 * g, tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     rch, rcl = rc_planes(g)
     out_hi, out_lo = pl.pallas_call(

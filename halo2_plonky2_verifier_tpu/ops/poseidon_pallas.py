@@ -109,8 +109,21 @@ def default_groups():
     element-major order (row = element*G + group): the partial-round sbox
     becomes an aligned (G, T) block instead of a 1/8-utilized (1, T) row,
     and every elementwise op packs 12G rows into full 8-sublane vregs
-    (12 rows waste 4/8 sublanes of their second vreg tile)."""
-    return int(_os.environ.get("POSEIDON_GROUPS", "1"))
+    (12 rows waste 4/8 sublanes of their second vreg tile).
+
+    Default G=8: the partial-round sbox block is exactly one full vreg row
+    set.  Measured on v5e (round 3): kernel 19.3 -> 26.6 -> 30.1 -> 35.2
+    M perm/s for G=1/2/4/8; flagship verifier 33.2k -> 54.5k -> 59.0k
+    proofs/s for G=1/4/8.  G=16 adds nothing (the sbox is already a full
+    vreg at 8) and doubles VMEM tile height."""
+    return int(_os.environ.get("POSEIDON_GROUPS", "8"))
+
+
+def lane_tile(n, groups=1):
+    """Grid lane tile for n pre-grouping lanes: big inputs use the full
+    _TILE; small ones (unit tests, tiny batches) one 128-lane vreg tile, so
+    the G-group padding floor is 128*G lanes instead of 512*G."""
+    return _TILE if n >= _TILE * groups else 128
 
 
 def to_groups(x, groups):
@@ -281,16 +294,18 @@ def _permute_kernel(rc_hi_ref, rc_lo_ref, mds_ref, hi_ref, lo_ref,
 
 
 def _permute_planes_call_impl(hi, lo, interpret=False, groups=1):
-    """(12G, N') element-major planes -> permuted; N' padded to _TILE."""
+    """(12G, N') element-major planes -> permuted; N' padded to the lane
+    tile (512, or one 128-lane vreg for small inputs)."""
     g = groups
     n = hi.shape[1]
-    n_pad = -n % _TILE
+    tile = _TILE if n >= _TILE else 128
+    n_pad = -n % tile
     if n_pad:
         hi = jnp.pad(hi, ((0, 0), (0, n_pad)))
         lo = jnp.pad(lo, ((0, 0), (0, n_pad)))
     total = hi.shape[1]
-    grid = (total // _TILE,)
-    spec = pl.BlockSpec((W * g, _TILE), lambda i: (0, i),
+    grid = (total // tile,)
+    spec = pl.BlockSpec((W * g, tile), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
     rch, rcl = rc_planes(g)
     out_hi, out_lo = pl.pallas_call(
@@ -359,13 +374,14 @@ def _permute_chained_call_impl(hi, lo, chain, interpret=False, groups=1):
         ol_ref[:] = lo_out
 
     n = hi.shape[1]
-    n_pad = -n % _TILE
+    tile = _TILE if n >= _TILE else 128
+    n_pad = -n % tile
     if n_pad:
         hi = jnp.pad(hi, ((0, 0), (0, n_pad)))
         lo = jnp.pad(lo, ((0, 0), (0, n_pad)))
     total = hi.shape[1]
-    grid = (total // _TILE,)
-    spec = pl.BlockSpec((W * g, _TILE), lambda i: (0, i),
+    grid = (total // tile,)
+    spec = pl.BlockSpec((W * g, tile), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
     rch, rcl = rc_planes(g)
     out_hi, out_lo = pl.pallas_call(

@@ -10,9 +10,29 @@ the fusion pass disabled (per-computation compiler_options — no environment
 flags required, so it works under any driver/pytest harness).
 """
 
+import os
+
 import jax
 
 _CPU_COMPILER_OPTIONS = {"xla_disable_hlo_passes": "fusion"}
+
+
+def enable_persistent_cache(cache_dir=None):
+    """Point JAX's persistent compilation cache at the repo-local .jax_cache.
+
+    TPU compiles of the full verifier run minutes over the tunneled axon
+    backend; the on-disk cache makes every repeat instant.  Call early (before
+    the first jit execution) from any entry point.  Safe to call twice."""
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 class _SmartJit:

@@ -28,8 +28,10 @@ def main():
     from halo2_plonky2_verifier_tpu import build_verifier
     from halo2_plonky2_verifier_tpu.refimpl.fixtures import (
         get_fibonacci_batch_columnar)
-    from halo2_plonky2_verifier_tpu.utils.compile import smart_jit
+    from halo2_plonky2_verifier_tpu.utils.compile import (
+        enable_persistent_cache, smart_jit)
 
+    enable_persistent_cache()
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "profile_trace"
     bench_config = os.environ.get("BENCH_CONFIG", "gl")  # gl | bn254
     from halo2_plonky2_verifier_tpu.refimpl import hashers

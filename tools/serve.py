@@ -50,14 +50,9 @@ class VerifierService:
         from halo2_plonky2_verifier_tpu.utils.logging import get_logger
         self.log = get_logger("halo2_plonky2_verifier_tpu.serve")
         # persistent compilation cache: service restarts skip the big compile
-        import jax
-        try:
-            jax.config.update("jax_compilation_cache_dir",
-                              os.path.join(REPO, ".jax_cache"))
-            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        except Exception:
-            pass
+        from halo2_plonky2_verifier_tpu.utils.compile import (
+            enable_persistent_cache)
+        enable_persistent_cache()
 
     def _config(self, cfg):
         from halo2_plonky2_verifier_tpu.utils.config import FriConfig, StarkConfig

@@ -42,7 +42,7 @@ _REDC_MXU = os.environ.get("POSEIDON_BN254_REDC", "mxu") != "vpu"
 _M_NP = None   # (4, 4, 16) u32 host Montgomery-form MDS limb tables
 _RC_NP = None  # (rounds, 64, 1) u32 Montgomery-form round-constant planes
 _A_NP = None   # (256, 128) f32 conv-matmul MDS operand (8-bit limb blocks)
-_REDC_NP = None  # (384, 128) f32 block-diag [A_Nprime; A_p] REDC operand
+_REDC_NP = {}  # per-k (96k, 64k) f32 block-diag [A_Nprime; A_p] REDC operands
 
 
 def _get_tables():
@@ -112,24 +112,29 @@ def _conv_block(c_int, out_digits):
     return a
 
 
-def _get_redc_a():
-    """(384, 256) f32 REDC conv-matmul operand, block-diagonal over the 4
-    state elements: rows [0, 128) = A_Nprime (truncated 32-digit output,
-    the mod-R multiply m = t_low * N' applied to t's raw low columns), rows
-    [128, 384) = A_p (full 64-digit output, u = m' * p).  Entries <= 255
-    (exact bf16); per-row sums <= 64 * 255^2 < 2^23 (exact f32)."""
-    global _REDC_NP
-    if _REDC_NP is None:
-        nprime_int = sum(int(x) << (16 * k)
-                         for k, x in enumerate(fr.NPRIME_LIMBS))
+def _get_redc_a(k=WIDTH):
+    """(96k, 64k) f32 REDC conv-matmul operand, block-diagonal over k state
+    elements: rows [0, 32k) = A_Nprime (truncated 32-digit output, the mod-R
+    multiply m = t_low * N' applied to t's raw low columns), rows [32k, 96k)
+    = A_p (full 64-digit output, u = m' * p).  Entries <= 255 (exact bf16);
+    per-row sums <= 64 * 255^2 < 2^23 (exact f32).
+
+    k=4 serves the mix and the full-round sbox stages; the k=1 operand
+    (96, 64 - one MXU pass instead of six) serves the 56 partial-round
+    sboxes and the Merkle path kernel's per-level sibling to_mont, which
+    would otherwise pad 3/4 of every matmul with zeros."""
+    if k not in _REDC_NP:
+        nprime_int = sum(int(x) << (16 * j)
+                         for j, x in enumerate(fr.NPRIME_LIMBS))
         an = _conv_block(nprime_int, 32)
         ap = _conv_block(fr.P_INT, 64)
-        a = np.zeros((384, 256), dtype=np.float32)
-        for i in range(WIDTH):
+        a = np.zeros((96 * k, 64 * k), dtype=np.float32)
+        for i in range(k):
             a[i * 32:(i + 1) * 32, i * 64:(i + 1) * 64] = an
-            a[128 + i * 64:128 + (i + 1) * 64, i * 64:(i + 1) * 64] = ap
-        _REDC_NP = a
-    return _REDC_NP
+            a[32 * k + i * 64:32 * k + (i + 1) * 64,
+              i * 64:(i + 1) * 64] = ap
+        _REDC_NP[k] = a
+    return _REDC_NP[k]
 
 
 def _to_bf16(x):
@@ -156,7 +161,8 @@ def _redc_mxu(cols_list, a_redc):
     _run_rounds absorbs it).
 
     cols_list: list of k (32, N) u32 raw column planes (each < 2^26).
-    a_redc:    the (384, 256) bf16 _get_redc_a operand.
+    a_redc:    a (96K, 64K) bf16 _get_redc_a(K) operand, K >= k (K > k
+               zero-pads the unused element blocks).
     Returns a list of k (16, N) lazy u16-limb planes.
 
     Steps per element:
@@ -173,16 +179,17 @@ def _redc_mxu(cols_list, a_redc):
          recombine (no mask: u < 1.001*R*p < 2^510 forces the digit-63 raw
          sum < 2^6) -> s = t + u -> Kogge-Stone normalize -> s[16:]."""
     k = len(cols_list)
+    k_op = a_redc.shape[1] // 64
     n = cols_list[0].shape[1]
     blocks = []
     for c in cols_list:
         blocks.extend(_bytes4(c[:16], n))
-    if k < WIDTH:
-        blocks.append(jnp.zeros((64 * (WIDTH - k), n), jnp.uint32))
-    x = _to_bf16(jnp.concatenate(blocks, axis=0))        # (256, N) bytes
+    if k < k_op:
+        blocks.append(jnp.zeros((64 * (k_op - k), n), jnp.uint32))
+    x = _to_bf16(jnp.concatenate(blocks, axis=0))        # (64K, N) bytes
     m8 = _from_f32(jax.lax.dot_general(
-        a_redc[:128], x, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32))             # (128, N)
+        a_redc[:32 * k_op], x, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))             # (32K, N)
     row = jax.lax.broadcasted_iota(jnp.uint32, (16, n), 0)
     ms = []
     for i in range(k):
@@ -197,12 +204,12 @@ def _redc_mxu(cols_list, a_redc):
     for m in ms:
         blocks.extend([m & np.uint32(0xFF), (m >> 8) & np.uint32(0xFF),
                        m >> 16, zero])
-    if k < WIDTH:
-        blocks.append(jnp.zeros((64 * (WIDTH - k), n), jnp.uint32))
+    if k < k_op:
+        blocks.append(jnp.zeros((64 * (k_op - k), n), jnp.uint32))
     xm = _to_bf16(jnp.concatenate(blocks, axis=0))
     u8 = _from_f32(jax.lax.dot_general(
-        a_redc[128:], xm, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32))             # (256, N)
+        a_redc[32 * k_op:], xm, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))             # (64K, N)
     out = []
     for i in range(k):
         ev = u8[i * 64:i * 64 + 32]
@@ -277,7 +284,7 @@ def _split(state, t):
     return tuple(state[16 * i:16 * (i + 1), :] for i in range(WIDTH))
 
 
-def _run_rounds(st, rc_ref, a_mat, a_redc=None):
+def _run_rounds(st, rc_ref, a_mat, a_redc=None, a_redc1=None):
     """All 64 lazy-Montgomery rounds on a 4-tuple of (16, T) planes: values
     drift in [0, ~2.6p) with exactly one conditional subtraction per round
     (inside the mix REDC) — enough to keep the bound cycling (out <= t/R + p
@@ -285,8 +292,10 @@ def _run_rounds(st, rc_ref, a_mat, a_redc=None):
     mix cond_sub).  Output is lazy (< ~1.6p) — callers canonicalize.
 
     With `a_redc`, every reduction routes through the MXU (_redc_mxu):
-    full-round sboxes batch the 4 elements per squaring stage, the partial
-    sbox runs k=1 through the same block-diagonal operand.
+    full-round sboxes batch the 4 elements per squaring stage; the partial
+    sbox (k=1) uses the dedicated (96, 64) `a_redc1` operand when given —
+    one MXU pass instead of six and no zero-padded byte planes — falling
+    back to the k=4 operand otherwise.
 
     `rc_ref` must be the round-constant REF (not a loaded value): Mosaic
     lowers dynamic indexing on a Ref, but dynamic_slice on a value is
@@ -303,10 +312,11 @@ def _run_rounds(st, rc_ref, a_mat, a_redc=None):
                 st = tuple(_redc_mxu(
                     [frp.school(a, b) for a, b in zip(x4, st)], a_redc))
             else:
+                ar1 = a_redc if a_redc1 is None else a_redc1
                 x = st[0]
-                x2 = _redc_mxu([frp.school(x, x)], a_redc)[0]
-                x4 = _redc_mxu([frp.school(x2, x2)], a_redc)[0]
-                x5 = _redc_mxu([frp.school(x4, x)], a_redc)[0]
+                x2 = _redc_mxu([frp.school(x, x)], ar1)[0]
+                x4 = _redc_mxu([frp.school(x2, x2)], ar1)[0]
+                x5 = _redc_mxu([frp.school(x4, x)], ar1)[0]
                 st = (x5,) + st[1:]
         elif full:
             st = tuple(_sbox5(s) for s in st)
@@ -322,15 +332,18 @@ def _run_rounds(st, rc_ref, a_mat, a_redc=None):
     return st
 
 
-def _permute_kernel(rc_ref, mds_ref, redc_ref, in_ref, out_ref):
+def _permute_kernel(rc_ref, mds_ref, redc_ref, redc1_ref, in_ref, out_ref):
     t = in_ref.shape[1]
     a_redc = redc_ref[:] if _REDC_MXU else None
-    st = _run_rounds(_split(in_ref[:], t), rc_ref, mds_ref[:], a_redc)
+    a_redc1 = redc1_ref[:] if _REDC_MXU else None
+    st = _run_rounds(_split(in_ref[:], t), rc_ref, mds_ref[:], a_redc,
+                     a_redc1)
     st = tuple(frp.cond_sub_p(s) for s in st)         # lazy -> canonical
     out_ref[:] = jnp.concatenate(st, axis=0)
 
 
-def _leaf_kernel(rc_ref, mds_ref, redc_ref, hi_ref, lo_ref, out_ref, *, w):
+def _leaf_kernel(rc_ref, mds_ref, redc_ref, redc1_ref, hi_ref, lo_ref,
+                 out_ref, *, w):
     """hash_or_noop over w Goldilocks elements per lane, whole sponge in
     VMEM, output in canonical MONTGOMERY form (poseidon_bn254.hash_or_noop_gl
     semantics: w <= 3 packs 3 GL into one Fr with no permute; otherwise
@@ -341,6 +354,7 @@ def _leaf_kernel(rc_ref, mds_ref, redc_ref, hi_ref, lo_ref, out_ref, *, w):
     across the chunk's slots) and the rounds."""
     a_mat = mds_ref[:]
     a_redc = redc_ref[:] if _REDC_MXU else None
+    a_redc1 = redc1_ref[:] if _REDC_MXU else None
     t = hi_ref.shape[1]
     zrow = jnp.zeros((1, t), jnp.uint32)
 
@@ -359,8 +373,9 @@ def _leaf_kernel(rc_ref, mds_ref, redc_ref, hi_ref, lo_ref, out_ref, *, w):
     def to_mont_lazy(planes):
         """Batched standard -> Montgomery, lazy output (rounds tolerate it)."""
         if a_redc is not None:
+            op = a_redc1 if len(planes) == 1 else a_redc
             return _redc_mxu(
-                [frp.school_const(p, frp._R2_NP) for p in planes], a_redc)
+                [frp.school_const(p, frp._R2_NP) for p in planes], op)
         return [frp.to_mont(p) for p in planes]
 
     els = [(hi_ref[j:j + 1], lo_ref[j:j + 1]) for j in range(w)]
@@ -375,7 +390,8 @@ def _leaf_kernel(rc_ref, mds_ref, redc_ref, hi_ref, lo_ref, out_ref, *, w):
                                   for k in range(0, len(chunk), 3)])
             for k, sm in enumerate(slots):
                 state[1 + k] = sm
-            state = list(_run_rounds(tuple(state), rc_ref, a_mat, a_redc))
+            state = list(_run_rounds(tuple(state), rc_ref, a_mat, a_redc,
+                                     a_redc1))
         node = state[0]
     out_ref[:] = frp.cond_sub_p(node)                     # canonical mont
 
@@ -404,22 +420,26 @@ def hash_or_noop_mont_planes(gl_planes, interpret=None):
                             memory_space=pltpu.VMEM)
     redc_spec = pl.BlockSpec((384, 256), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
+    redc1_spec = pl.BlockSpec((96, 64), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_leaf_kernel, w=w),
         grid=grid,
-        in_specs=[rc_spec, mds_spec, redc_spec, gl_spec, gl_spec],
+        in_specs=[rc_spec, mds_spec, redc_spec, redc1_spec, gl_spec,
+                  gl_spec],
         out_specs=h_spec,
         out_shape=jax.ShapeDtypeStruct((fr.N_LIMBS, total), jnp.uint32),
         interpret=interpret,
     )(jnp.asarray(rc_np), jnp.asarray(_get_mds_a(), dtype=jnp.bfloat16),
-      jnp.asarray(_get_redc_a(), dtype=jnp.bfloat16), hi, lo)
+      jnp.asarray(_get_redc_a(), dtype=jnp.bfloat16),
+      jnp.asarray(_get_redc_a(1), dtype=jnp.bfloat16), hi, lo)
     if n_pad:
         out = out[:, :n]
     return out
 
 
-def _path_kernel(rc_ref, mds_ref, redc_ref, node_ref, sib_ref, idx_ref,
-                 act_ref, out_ref, *, node_in_mont=False):
+def _path_kernel(rc_ref, mds_ref, redc_ref, redc1_ref, node_ref, sib_ref,
+                 idx_ref, act_ref, out_ref, *, node_in_mont=False):
     """One tile of BN254 Merkle paths, whole level loop in VMEM: the node
     hash stays in MONTGOMERY form across levels (the per-level from_mont /
     to_mont round trips of the scan formulation disappear), each level doing
@@ -428,19 +448,20 @@ def _path_kernel(rc_ref, mds_ref, redc_ref, node_ref, sib_ref, idx_ref,
     d_max = sib_ref.shape[0]
     a_mat = mds_ref[:]
     a_redc = redc_ref[:] if _REDC_MXU else None
+    a_redc1 = redc1_ref[:] if _REDC_MXU else None
     zero = jnp.zeros_like(node_ref[:])
 
     def to_mont(a):
         if a_redc is None:
             return frp.to_mont(a)
         cols = frp.school_const(a, frp._R2_NP)        # raw < 2^21
-        return frp.cond_sub_p(_redc_mxu([cols], a_redc)[0])
+        return frp.cond_sub_p(_redc_mxu([cols], a_redc1)[0])
 
     def from_mont(a):
         if a_redc is None:
             return frp.from_mont(a)
         cols = jnp.pad(a, ((0, fr.N_LIMBS), (0, 0)))
-        return frp.cond_sub_p(_redc_mxu([cols], a_redc)[0])
+        return frp.cond_sub_p(_redc_mxu([cols], a_redc1)[0])
 
     def level(l, carry):
         node_m, idx = carry                           # (16,T) mont, (1,T)
@@ -448,7 +469,8 @@ def _path_kernel(rc_ref, mds_ref, redc_ref, node_ref, sib_ref, idx_ref,
         bit = (idx & np.uint32(1)) == np.uint32(1)    # (1,T): node is right
         left = jnp.where(bit, sib_m, node_m)
         right = jnp.where(bit, node_m, sib_m)
-        st = _run_rounds((zero, zero, left, right), rc_ref, a_mat, a_redc)
+        st = _run_rounds((zero, zero, left, right), rc_ref, a_mat, a_redc,
+                         a_redc1)
         new_node = frp.cond_sub_p(st[0])              # canonical mont
         act = act_ref[pl.ds(l, 1), :] == np.uint32(1)
         node_m = jnp.where(act, new_node, node_m)
@@ -499,16 +521,19 @@ def verify_paths_mont_planes(node, siblings, idx, active, interpret=None,
                             memory_space=pltpu.VMEM)
     redc_spec = pl.BlockSpec((384, 256), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
+    redc1_spec = pl.BlockSpec((96, 64), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_path_kernel, node_in_mont=node_in_mont),
         grid=grid,
-        in_specs=[rc_spec, mds_spec, redc_spec, h_spec, sib_spec, idx_spec,
-                  act_spec],
+        in_specs=[rc_spec, mds_spec, redc_spec, redc1_spec, h_spec,
+                  sib_spec, idx_spec, act_spec],
         out_specs=h_spec,
         out_shape=jax.ShapeDtypeStruct((fr.N_LIMBS, total), jnp.uint32),
         interpret=interpret,
     )(jnp.asarray(rc_np), jnp.asarray(_get_mds_a(), dtype=jnp.bfloat16),
       jnp.asarray(_get_redc_a(), dtype=jnp.bfloat16),
+      jnp.asarray(_get_redc_a(1), dtype=jnp.bfloat16),
       node, siblings, idx2, active)
     if n_pad:
         out = out[:, :n]
@@ -532,15 +557,18 @@ def permute_mont_planes(state, interpret=False):
                             memory_space=pltpu.VMEM)
     redc_spec = pl.BlockSpec((384, 256), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
+    redc1_spec = pl.BlockSpec((96, 64), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _permute_kernel,
         grid=grid,
-        in_specs=[rc_spec, mds_spec, redc_spec, spec],
+        in_specs=[rc_spec, mds_spec, redc_spec, redc1_spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((WIDTH * fr.N_LIMBS, total), jnp.uint32),
         interpret=interpret,
     )(jnp.asarray(rc_np), jnp.asarray(_get_mds_a(), dtype=jnp.bfloat16),
-      jnp.asarray(_get_redc_a(), dtype=jnp.bfloat16), state)
+      jnp.asarray(_get_redc_a(), dtype=jnp.bfloat16),
+      jnp.asarray(_get_redc_a(1), dtype=jnp.bfloat16), state)
     if n_pad:
         out = out[:, :n]
     return out

@@ -194,7 +194,10 @@ def _mds_planes_mxu_grouped(hi, lo, mds_g):
     Unlike the g=1 form there is NO sublane slicing anywhere: each byte plane
     is a full-array operand and each product a full-array result; the
     per-group mixing is entirely inside the matmul.  Exactness matches the
-    g=1 operand (entries <= 49, 8-bit inputs, f32 sums < 2^17)."""
+    g=1 operand (entries <= 49, 8-bit inputs, f32 sums < 2^17).  (A single
+    (12G,12G)@(12G,8T) matmul over lane-concatenated byte planes was tried
+    and measured SLOWER — 29.5 vs 35.2 M perm/s at G=8: the lane-axis
+    concat + result slicing relayouts cost more than 7 extra dispatches.)"""
     l16 = [lo & _MASK16, lo >> 16, hi & _MASK16, hi >> 16]
     ys = []
     for v in l16:

@@ -49,6 +49,32 @@ def school(a, b, out_rows=2 * N_LIMBS):
     return cols
 
 
+def school_sq(a, out_rows=2 * N_LIMBS):
+    """Raw schoolbook columns of a*a exploiting symmetry: 136 limb products
+    instead of 256 (the j-th block multiplies only rows i >= j; its
+    diagonal row counts once, off-diagonal rows are doubled via their
+    16-bit halves, which stay < 2^17 — column sums < 2^22, well inside
+    the normalize/normalize_ks < 2^26 contract)."""
+    cols = jnp.zeros((out_rows,) + a.shape[1:], jnp.uint32)
+    for j in range(N_LIMBS):
+        rows = min(N_LIMBS - j, out_rows - 2 * j)
+        if rows <= 0:
+            break
+        prod = a[j:j + rows] * a[j:j + 1]
+        lo = prod & _MASK
+        hi = prod >> 16
+        if rows > 1:
+            lo = jnp.concatenate([lo[:1], lo[1:] << 1], axis=0)
+            hi = jnp.concatenate([hi[:1], hi[1:] << 1], axis=0)
+        cols = cols + jnp.pad(lo, ((2 * j, out_rows - 2 * j - rows), (0, 0)))
+        hi2 = hi[:min(rows, out_rows - 2 * j - 1)]
+        if hi2.shape[0]:
+            cols = cols + jnp.pad(
+                hi2, ((2 * j + 1, out_rows - 2 * j - 1 - hi2.shape[0]),
+                      (0, 0)))
+    return cols
+
+
 def school_const(a, b_np, out_rows=2 * N_LIMBS):
     """Raw columns of a (16, N) plane times a host u16-limb constant."""
     cols = jnp.zeros((out_rows,) + a.shape[1:], jnp.uint32)

@@ -33,7 +33,13 @@ from . import bn254_planes as frp
 
 _ROUNDS = FULL_ROUNDS + PARTIAL_ROUNDS
 _HALF = FULL_ROUNDS // 2
-_TILE = 256  # batch lanes per grid step
+# Batch lanes per grid step.  The round/level loops are fully serial inside
+# one grid step (and TPU runs grid steps sequentially), so the kernel is
+# latency-bound at narrow tiles: wider lanes amortize the dependent-op chain
+# over more work per instruction ((16, T) planes are only 4 vregs at T=256).
+# Measured (v5e, BN254 bench): 2492 / 3336 / 3572 / 3554 proofs/s at
+# T=256/512/1024/2048 — 1024 is the knee.
+_TILE = int(os.environ.get("POSEIDON_BN254_TILE", "1024"))
 
 # REDC const-multiplies (m = t*N' mod R, u = m*p) on the MXU (default) or
 # the VPU school_const ripple (POSEIDON_BN254_REDC=vpu fallback).
@@ -137,6 +143,12 @@ def _get_redc_a(k=WIDTH):
     return _REDC_NP[k]
 
 
+def _lane_tile(n):
+    """Grid lane tile: the full _TILE for real workloads, one small tile for
+    tiny inputs (unit tests, small batches) so padding stays bounded."""
+    return _TILE if n >= _TILE else 256
+
+
 def _to_bf16(x):
     # Mosaic has no u32 <-> bf16 cast: hop through i32/f32.
     return x.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
@@ -231,9 +243,10 @@ def _auto_interp(interpret):
 
 def _sbox5(x):
     """x^5 with lazy Montgomery reductions (no per-step cond_sub; value
-    bounds stay < ~2.6p and cycle stably — see _permute_kernel note)."""
-    x2 = frp.redc_lazy(frp.school(x, x))
-    x4 = frp.redc_lazy(frp.school(x2, x2))
+    bounds stay < ~2.6p and cycle stably — see _permute_kernel note).
+    Squares use the symmetric schoolbook (136 limb products vs 256)."""
+    x2 = frp.redc_lazy(frp.school_sq(x))
+    x4 = frp.redc_lazy(frp.school_sq(x2))
     return frp.redc_lazy(frp.school(x4, x))
 
 
@@ -307,15 +320,15 @@ def _run_rounds(st, rc_ref, a_mat, a_redc=None, a_redc1=None):
                    for i in range(WIDTH))
         if a_redc is not None:
             if full:
-                x2 = _redc_mxu([frp.school(s, s) for s in st], a_redc)
-                x4 = _redc_mxu([frp.school(s, s) for s in x2], a_redc)
+                x2 = _redc_mxu([frp.school_sq(s) for s in st], a_redc)
+                x4 = _redc_mxu([frp.school_sq(s) for s in x2], a_redc)
                 st = tuple(_redc_mxu(
                     [frp.school(a, b) for a, b in zip(x4, st)], a_redc))
             else:
                 ar1 = a_redc if a_redc1 is None else a_redc1
                 x = st[0]
-                x2 = _redc_mxu([frp.school(x, x)], ar1)[0]
-                x4 = _redc_mxu([frp.school(x2, x2)], ar1)[0]
+                x2 = _redc_mxu([frp.school_sq(x)], ar1)[0]
+                x4 = _redc_mxu([frp.school_sq(x2)], ar1)[0]
                 x5 = _redc_mxu([frp.school(x4, x)], ar1)[0]
                 st = (x5,) + st[1:]
         elif full:
@@ -404,15 +417,16 @@ def hash_or_noop_mont_planes(gl_planes, interpret=None):
     _, rc_np = _get_tables()
     hi, lo = gl_planes
     w, n = hi.shape
-    n_pad = -n % _TILE
+    tile = _lane_tile(n)
+    n_pad = -n % tile
     if n_pad:
         hi = jnp.pad(hi, ((0, 0), (0, n_pad)))
         lo = jnp.pad(lo, ((0, 0), (0, n_pad)))
     total = hi.shape[1]
-    grid = (total // _TILE,)
-    gl_spec = pl.BlockSpec((w, _TILE), lambda i: (0, i),
+    grid = (total // tile,)
+    gl_spec = pl.BlockSpec((w, tile), lambda i: (0, i),
                            memory_space=pltpu.VMEM)
-    h_spec = pl.BlockSpec((fr.N_LIMBS, _TILE), lambda i: (0, i),
+    h_spec = pl.BlockSpec((fr.N_LIMBS, tile), lambda i: (0, i),
                           memory_space=pltpu.VMEM)
     rc_spec = pl.BlockSpec((_ROUNDS, WIDTH * fr.N_LIMBS, 1),
                            lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
@@ -498,7 +512,8 @@ def verify_paths_mont_planes(node, siblings, idx, active, interpret=None,
     _, rc_np = _get_tables()
     n = node.shape[1]
     d_max = siblings.shape[0]
-    n_pad = -n % _TILE
+    tile = _lane_tile(n)
+    n_pad = -n % tile
     idx2 = idx[None, :]
     if n_pad:
         node = jnp.pad(node, ((0, 0), (0, n_pad)))
@@ -506,14 +521,14 @@ def verify_paths_mont_planes(node, siblings, idx, active, interpret=None,
         idx2 = jnp.pad(idx2, ((0, 0), (0, n_pad)))
         active = jnp.pad(active, ((0, 0), (0, n_pad)))
     total = node.shape[1]
-    grid = (total // _TILE,)
-    h_spec = pl.BlockSpec((fr.N_LIMBS, _TILE), lambda i: (0, i),
+    grid = (total // tile,)
+    h_spec = pl.BlockSpec((fr.N_LIMBS, tile), lambda i: (0, i),
                           memory_space=pltpu.VMEM)
-    sib_spec = pl.BlockSpec((d_max, fr.N_LIMBS, _TILE), lambda i: (0, 0, i),
+    sib_spec = pl.BlockSpec((d_max, fr.N_LIMBS, tile), lambda i: (0, 0, i),
                             memory_space=pltpu.VMEM)
-    idx_spec = pl.BlockSpec((1, _TILE), lambda i: (0, i),
+    idx_spec = pl.BlockSpec((1, tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
-    act_spec = pl.BlockSpec((d_max, _TILE), lambda i: (0, i),
+    act_spec = pl.BlockSpec((d_max, tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     rc_spec = pl.BlockSpec((_ROUNDS, WIDTH * fr.N_LIMBS, 1),
                            lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
@@ -544,12 +559,13 @@ def permute_mont_planes(state, interpret=False):
     """(64, N) u32 Montgomery-form state plane -> permuted plane."""
     _, rc_np = _get_tables()
     n = state.shape[1]
-    n_pad = -n % _TILE
+    tile = _lane_tile(n)
+    n_pad = -n % tile
     if n_pad:
         state = jnp.pad(state, ((0, 0), (0, n_pad)))
     total = state.shape[1]
-    grid = (total // _TILE,)
-    spec = pl.BlockSpec((WIDTH * fr.N_LIMBS, _TILE), lambda i: (0, i),
+    grid = (total // tile,)
+    spec = pl.BlockSpec((WIDTH * fr.N_LIMBS, tile), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
     rc_spec = pl.BlockSpec((_ROUNDS, WIDTH * fr.N_LIMBS, 1),
                            lambda i: (0, 0, 0), memory_space=pltpu.VMEM)

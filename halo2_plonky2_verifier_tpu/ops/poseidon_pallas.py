@@ -39,7 +39,11 @@ from . import goldilocks as gl
 
 W = SPONGE_WIDTH
 _MASK16 = np.uint32(0xFFFF)
-_TILE = 512  # batch lanes per grid step (multiple of 128)
+
+import os as _os
+
+# batch lanes per grid step (multiple of 128; POSEIDON_TILE to experiment)
+_TILE = int(_os.environ.get("POSEIDON_TILE", "512"))
 
 _RC = np.array(ALL_ROUND_CONSTANTS, dtype=np.uint64).reshape(N_ROUNDS, W)
 # (12, 30): state-element on sublanes, round index on lanes -> slicing one
@@ -238,8 +242,6 @@ def _mds_planes(hi, lo):
     hi64 = (jnp.zeros_like(carry), carry)
     return gl.reduce128(hi64, lo64)
 
-
-import os as _os
 
 _MDS_MXU = _os.environ.get("POSEIDON_MDS", "mxu") == "mxu"
 

@@ -15,6 +15,15 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The library default is POSEIDON_GROUPS=8 (the TPU-optimal multi-state
+# layout).  On CPU the kernels run in interpret mode, where G=8's lane-pad
+# floor (128*G) makes the tiny test shapes ~4x more expensive; the suite
+# pins G=2 — the grouped code path with a cheap floor — and covers the
+# G=8 default explicitly (test_poseidon_groups: kernel-level G=8 diffs +
+# test_e2e_verifier_grouped, full verifier at G=8).  Tests that care set
+# groups=/POSEIDON_GROUPS themselves.
+os.environ.setdefault("POSEIDON_GROUPS", "2")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

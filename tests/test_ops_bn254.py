@@ -84,3 +84,54 @@ def test_56bit_observation():
         for j in range(5):
             got = (int(np.asarray(wins[j][0])[i]) << 32) | int(np.asarray(wins[j][1])[i])
             assert got == want[j], (i, j)
+
+
+def test_school_sq_matches_school():
+    """Symmetric-square schoolbook (136 limb products) == school(a, a) on
+    raw columns after normalization, including edge values (0, 1, p-1 and
+    non-canonical lazy values up to ~2.6p as the kernel rounds produce)."""
+    import jax.numpy as jnp
+
+    from halo2_plonky2_verifier_tpu.ops import bn254_planes as frp
+
+    vals = _rand(32) + [0, 1, P - 1, int(P * 2.6) - 3, (1 << 256) - 1]
+    n = len(vals)
+    a = np.zeros((16, n), np.uint32)
+    for c, v in enumerate(vals):
+        for k in range(16):
+            a[k, c] = (v >> (16 * k)) & 0xFFFF
+    a = jnp.asarray(a)
+
+    def both(x):
+        s1, c1 = frp.normalize(frp.school(x, x))
+        s2, c2 = frp.normalize(frp.school_sq(x))
+        return s1, c1, s2, c2
+
+    s1, c1, s2, c2 = smart_jit(both)(a)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_bn254_kernel_tile_boundaries():
+    """The fused BN254 permutation kernel at lane counts straddling the
+    small-input tile (256): below, exactly at, and just above — all must
+    agree with the wide-batch result (padding correctness)."""
+    import jax.numpy as jnp
+
+    from halo2_plonky2_verifier_tpu.ops import poseidon_bn254_pallas as pbp
+
+    rng = np.random.default_rng(0xB254)
+    n = 300
+    st = np.zeros((64, n), np.uint32)
+    vals = [[_rng.randrange(P) for _ in range(4)] for _ in range(n)]
+    for c in range(n):
+        for i in range(4):
+            vm = vals[c][i] * pbp.fr.R_INT % pbp.fr.P_INT
+            for k in range(16):
+                st[i * 16 + k, c] = (vm >> (16 * k)) & 0xFFFF
+    full = np.asarray(pbp.permute_mont_planes(jnp.asarray(st),
+                                              interpret=True))
+    for m in (13, 256, 300):
+        part = np.asarray(pbp.permute_mont_planes(jnp.asarray(st[:, :m]),
+                                                  interpret=True))
+        np.testing.assert_array_equal(part, full[:, :m])

@@ -352,10 +352,15 @@ def verify_fri(shape, batch, challenges, verdict):
         arity = 1 << ab
         within = idx_cur & np.uint32(arity - 1)                  # (B,Q)
         ev = batch.step_evals[si]                                # (B,Q,arity,2)
-        # gather claimed eval at `within`
-        wi = within[..., None, None].astype(jnp.int32)
+        # claimed eval at `within` (select_from_idx, fri/mod.rs:412): unrolled
+        # one-hot mask-sum — dynamic gathers are slow on TPU (see take_cap)
+        # and arity is a small host constant (16/32)
         def g(a):
-            return jnp.take_along_axis(a, wi, axis=2)[..., 0, :]
+            out = jnp.zeros(a.shape[:2] + a.shape[3:], a.dtype)
+            for c in range(arity):
+                m = (within == np.uint32(c)).astype(a.dtype)[..., None]
+                out = out + m * a[:, :, c, :]
+            return out
         picked = (g(ev[0]), g(ev[1]))                            # (B,Q,2)
         new_eval = ((picked[0][..., 0], picked[1][..., 0]),
                     (picked[0][..., 1], picked[1][..., 1]))      # ext (B,Q)

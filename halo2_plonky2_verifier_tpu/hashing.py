@@ -8,6 +8,7 @@ leaf hashing, node select, two_to_one, equality, cap gather, and conversion
 to Goldilocks elements for Fiat-Shamir observation.
 """
 
+import numpy as np
 import jax.numpy as jnp
 
 from .ops import bn254 as fr
@@ -136,11 +137,21 @@ class BN254HashOps:
 
 
 def _take_cap_raw(x, cap_index):
-    """x: (B, S, cap, D); cap_index: (B, Q) -> (B, Q, S, D)."""
-    xe = jnp.broadcast_to(x[:, None],
-                          (x.shape[0], cap_index.shape[1]) + x.shape[1:])
-    ci = cap_index[:, :, None, None, None].astype(jnp.int32)
-    return jnp.take_along_axis(xe, ci, axis=3)[..., 0, :]
+    """x: (B, S, cap, D); cap_index: (B, Q) -> (B, Q, S, D).
+
+    select_from_idx over the Merkle cap (merkle/mod.rs:76-77) as an
+    unrolled one-hot mask-sum rather than a gather: TPU lowers
+    take_along_axis to dynamic-gather fusions that measured 11% of flagship
+    device time (profile/device_time_gl_r3.md, fusion.3/4), while the cap
+    size is a small host constant (2^cap_height <= 16 in every shipped
+    config), so compare+multiply over the cap axis is a cheap VPU fusion."""
+    cap = x.shape[2]
+    out = jnp.zeros((x.shape[0], cap_index.shape[1]) + (x.shape[1],
+                                                        x.shape[3]), x.dtype)
+    for c in range(cap):
+        m = (cap_index == np.uint32(c)).astype(x.dtype)[:, :, None, None]
+        out = out + m * x[:, None, :, c, :]
+    return out
 
 
 def _gl_take_cap(caps, cap_index):

@@ -33,7 +33,10 @@ def main():
 
     num_rows = int(os.environ.get("BENCH_NUM_ROWS", "32"))
     bench_config = os.environ.get("BENCH_CONFIG", "gl")  # gl | bn254 | plonk
-    batch_size = int(os.environ.get("BENCH_BATCH", "1024"))
+    # measured batch curve on v5e (round 3, G=8 kernels): 56.0k / 67.5k /
+    # 71.5k / 73.5k proofs/s at B=512/1024/2048/4096 — wider batches amortize
+    # per-dispatch latency; 4096 is near the plateau and fits HBM comfortably
+    batch_size = int(os.environ.get("BENCH_BATCH", "4096"))
     # sub-batches scanned inside one jit call: amortizes dispatch overhead
     # while keeping the per-step working set cache-friendly
     sub_batches = int(os.environ.get("BENCH_SUBBATCHES", "1"))

@@ -30,6 +30,10 @@ class BaseOps:
     def from_base(x):
         return x % gl.P
 
+    @staticmethod
+    def mul_const_small(c, a):
+        return a * c % gl.P
+
 
 class ExtOps:
     """GF(p^2) with (a0, a1) tuples."""
@@ -57,3 +61,7 @@ class ExtOps:
     @staticmethod
     def from_base(x):
         return gl.ext_from_base(x)
+
+    @staticmethod
+    def mul_const_small(c, a):
+        return gl.ext_scalar_mul(a, c)

@@ -4,7 +4,9 @@ the TPU-lane verifier lives in halo2_plonky2_verifier_tpu/plonk.py."""
 
 from .circuit import (CircuitBuilder, CircuitConfig, CommonCircuitData,
                       VerifierCircuitData, compute_circuit_digest)
-from .gates import (ArithmeticGate, ConstantGate, NoopGate, PublicInputGate)
+from .gates import (ArithmeticExtensionGate, ArithmeticGate, ConstantGate,
+                    MulExtensionGate, NoopGate, PoseidonGate, PublicInputGate,
+                    RandomAccessGate)
 from .proof import (PlonkProof, PlonkProofWithPublicInputs,
                     plonk_proof_from_json, plonk_proof_to_json)
 from .prover import prove

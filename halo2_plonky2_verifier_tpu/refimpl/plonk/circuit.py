@@ -35,12 +35,16 @@ from .. import field as gl
 from ..poseidon import hash_no_pad
 from .gates import (
     UNUSED_SELECTOR,
+    ArithmeticExtensionGate,
     ArithmeticGate,
     BaseSumGate,
     ConstantGate,
     ExponentiationGate,
+    MulExtensionGate,
     NoopGate,
+    PoseidonGate,
     PublicInputGate,
+    RandomAccessGate,
     compute_selector_groups,
 )
 
@@ -155,6 +159,8 @@ class CircuitBuilder:
         self._const_rows = []       # (row, used)
         self._const_cache = {}
         self._arith_slots = {}      # (c0, c1) -> (row, next_op)
+        self._arith_ext_slots = {}  # (c0, c1) -> (row, next_op)
+        self._mul_ext_slot = None   # (row, next_op)
 
     # -- gate allocation ------------------------------------------------------
 
@@ -229,6 +235,101 @@ class CircuitBuilder:
         for j, b in enumerate(bits):
             self.connect(b, (row, gate.wire_bit(j)))
         return (row, gate.wire_output)
+
+    def arithmetic_extension(self, c0, c1, m0, m1, addend):
+        """Extension-field op out = c0 * m0 * m1 + c1 * addend; operands and
+        result are PAIRS of targets (the 2 coordinates of a GF(p^2) element)."""
+        key = (c0 % gl.P, c1 % gl.P)
+        num_ops = self.config.num_routed_wires // 8
+        assert num_ops >= 1
+        slot = self._arith_ext_slots.get(key)
+        if slot is None or slot[1] >= num_ops:
+            row = self.add_gate(ArithmeticExtensionGate(num_ops), list(key))
+            slot = [row, 0]
+            self._arith_ext_slots[key] = slot
+        row, op = slot
+        w = ArithmeticExtensionGate.wires_ith_op(op)
+        slot[1] += 1
+        for t, wi in zip((m0[0], m0[1], m1[0], m1[1], addend[0], addend[1]),
+                         w[:6]):
+            self.connect(t, (row, wi))
+        return ((row, w[6]), (row, w[7]))
+
+    def zero_extension(self):
+        z = self.constant(0)
+        return (z, z)
+
+    def add_extension(self, a, b):
+        one = self.constant(1)
+        return self.arithmetic_extension(1, 1, a, (one, self.constant(0)), b)
+
+    def mul_extension(self, a, b):
+        """Extension multiply through a MulExtensionGate."""
+        num_ops = self.config.num_routed_wires // 6
+        assert num_ops >= 1
+        slot = self._mul_ext_slot
+        if slot is None or slot[1] >= num_ops:
+            row = self.add_gate(MulExtensionGate(num_ops), [1])
+            slot = self._mul_ext_slot = [row, 0]
+        row, op = slot
+        w = MulExtensionGate.wires_ith_op(op)
+        slot[1] += 1
+        for t, wi in zip((a[0], a[1], b[0], b[1]), w[:4]):
+            self.connect(t, (row, wi))
+        return ((row, w[4]), (row, w[5]))
+
+    def permute_poseidon(self, inputs: List[Target],
+                         swap: Target = None) -> List[Target]:
+        """One in-circuit Poseidon permutation (PoseidonGate): 12 input
+        targets -> 12 output targets.  `swap` (boolean target, default
+        constant 0) conditionally exchanges input halves 0..4 and 4..8 —
+        the Merkle two_to_one child ordering (plonky2
+        CircuitBuilder::permute_swapped)."""
+        assert len(inputs) == 12
+        gate = PoseidonGate()
+        assert gate.num_wires <= self.config.num_wires, \
+            "PoseidonGate needs num_wires >= 135"
+        assert gate.WIRE_SWAP < self.config.num_routed_wires, \
+            "PoseidonGate needs num_routed_wires >= 25 (inputs+outputs+swap)"
+        row = self.add_gate(gate)
+        if swap is None:
+            swap = self.constant(0)
+        self.connect(swap, (row, gate.WIRE_SWAP))
+        for i, t in enumerate(inputs):
+            self.connect(t, (row, gate.wire_input(i)))
+        return [(row, gate.wire_output(i)) for i in range(12)]
+
+    def hash_n_to_m_no_pad(self, inputs: List[Target],
+                           num_outputs: int = 4) -> List[Target]:
+        """In-circuit plonky2 sponge (overwrite-mode rate-8 absorb, one
+        PoseidonGate per chunk) — hash_n_to_m_no_pad semantics for
+        num_outputs <= 8 (single squeeze)."""
+        assert 1 <= num_outputs <= 8
+        zero = self.constant(0)
+        state = [zero] * 12
+        for c0 in range(0, len(inputs), 8):
+            chunk = inputs[c0:c0 + 8]
+            state = list(chunk) + state[len(chunk):]
+            state = self.permute_poseidon(state)
+        return state[:num_outputs]
+
+    def random_access(self, index: Target, items: List[Target]) -> Target:
+        """claimed = items[index] via a RandomAccessGate; items padded to a
+        power of two by repeating the last element (index must stay in the
+        original range at prove time for meaningful semantics)."""
+        assert items, "random_access needs at least one item"
+        bits = max(1, (len(items) - 1).bit_length())
+        vec = 1 << bits
+        items = list(items) + [items[-1]] * (vec - len(items))
+        gate = RandomAccessGate(bits)
+        assert gate.wire_item(0, vec - 1) < self.config.num_routed_wires, \
+            "vector too wide for the routed-wire budget"
+        assert gate.num_wires <= self.config.num_wires
+        row = self.add_gate(gate)
+        self.connect(index, (row, gate.wire_index(0)))
+        for i, t in enumerate(items):
+            self.connect(t, (row, gate.wire_item(0, i)))
+        return (row, gate.wire_claimed(0))
 
     def connect(self, a: Target, b: Target):
         assert a[1] < self.config.num_routed_wires

@@ -212,6 +212,365 @@ class ExponentiationGate(Gate):
         return out
 
 
+def _mul_const(F, c, x):
+    """x * c for a small host-int constant c (MDS entries): uses the ops
+    adapter's cheap mul_const_small when available (the jnp adapters), falls
+    back to a full F.mul."""
+    fn = getattr(F, "mul_const_small", None)
+    if fn is not None:
+        return fn(c, x)
+    return F.mul(F.from_base(c), x)
+
+
+class PoseidonGate(Gate):
+    """The full Poseidon-Goldilocks permutation as one gate (plonky2
+    gates/poseidon.rs: same 135-wire layout and 123-constraint count).
+
+    Wires: 12 inputs (0..12), 12 outputs (12..24), swap (24, boolean: swap
+    input halves 0..4 and 4..8 — Merkle two_to_one ordering), 4 deltas
+    (25..29, delta_i = swap * (in[i+4] - in[i])), then intermediate state
+    witnesses that keep every constraint's degree <= 7 (the x^7 S-box):
+
+      - first-half full rounds r = 1..3: the 12-element state at round start
+        (round 0 reads the swapped inputs directly — degree 1 via the delta
+        wires), wires 29 + (r-1)*12 + i;
+      - partial rounds r = 0..21: the S-box INPUT (state[0] after the
+        constant layer), wire 65 + r — elements 1..11 stay implicit (they
+        are linear combinations of earlier witnessed values, so their degree
+        never exceeds 7);
+      - second-half full rounds r = 0..3: the 12-element round-start state,
+        wires 87 + r*12 + i (the first of these reads partial-round output
+        whose components are degree-7 expressions, so all four rounds are
+        witnessed).
+
+    plonky2's eval uses the algebraically re-associated fast-partial-round
+    constants; this gate constrains the mathematically identical naive form
+    (constant layer -> S-box -> dense MDS, refimpl/poseidon.py), with the
+    same wire count, constraint count, and degree."""
+
+    W = 12
+    WIRE_SWAP = 24
+    num_wires = 135
+    num_constants = 0
+
+    def degree(self):
+        return 7
+
+    def num_constraints(self):
+        return 1 + 4 + 36 + 22 + 48 + 12
+
+    @staticmethod
+    def wire_input(i):
+        return i
+
+    @staticmethod
+    def wire_output(i):
+        return 12 + i
+
+    @staticmethod
+    def wire_delta(i):
+        return 25 + i
+
+    @staticmethod
+    def wire_full_first(r, i):
+        assert 1 <= r < 4
+        return 29 + (r - 1) * 12 + i
+
+    @staticmethod
+    def wire_partial(r):
+        return 65 + r
+
+    @staticmethod
+    def wire_full_second(r, i):
+        return 87 + r * 12 + i
+
+    def _round_tables(self):
+        from ...constants.poseidon_goldilocks import (
+            ALL_ROUND_CONSTANTS, HALF_N_FULL_ROUNDS, MDS_MATRIX_CIRC,
+            MDS_MATRIX_DIAG, N_PARTIAL_ROUNDS)
+        assert HALF_N_FULL_ROUNDS == 4 and N_PARTIAL_ROUNDS == 22
+        mds_rows = [[MDS_MATRIX_CIRC[(c - r) % 12]
+                     + (MDS_MATRIX_DIAG[r] if r == c else 0)
+                     for c in range(12)] for r in range(12)]
+        return ALL_ROUND_CONSTANTS, mds_rows
+
+    def eval(self, F, constants, wires, public_inputs_hash):
+        rc, mds_rows = self._round_tables()
+        one = F.one()
+        out = []
+
+        def sbox(x):
+            x2 = F.mul(x, x)
+            x4 = F.mul(x2, x2)
+            return F.mul(F.mul(x4, x2), x)
+
+        def constant_layer(st, rnd):
+            return [F.add(s, F.from_base(rc[rnd * 12 + i]))
+                    for i, s in enumerate(st)]
+
+        def mds(st):
+            new = []
+            for r in range(12):
+                acc = _mul_const(F, mds_rows[r][0], st[0])
+                for c in range(1, 12):
+                    acc = F.add(acc, _mul_const(F, mds_rows[r][c], st[c]))
+                new.append(acc)
+            return new
+
+        swap = wires[self.WIRE_SWAP]
+        out.append(F.mul(swap, F.sub(swap, one)))
+        ins = [wires[self.wire_input(i)] for i in range(12)]
+        deltas = [wires[self.wire_delta(i)] for i in range(4)]
+        for i in range(4):
+            out.append(F.sub(F.mul(swap, F.sub(ins[i + 4], ins[i])),
+                             deltas[i]))
+        state = list(ins)
+        for i in range(4):
+            state[i] = F.add(ins[i], deltas[i])
+            state[i + 4] = F.sub(ins[i + 4], deltas[i])
+
+        rnd = 0
+        for r in range(4):
+            if r > 0:
+                for i in range(12):
+                    w = wires[self.wire_full_first(r, i)]
+                    out.append(F.sub(state[i], w))
+                    state[i] = w
+            state = constant_layer(state, rnd)
+            state = [sbox(s) for s in state]
+            state = mds(state)
+            rnd += 1
+        for r in range(22):
+            state = constant_layer(state, rnd)
+            w = wires[self.wire_partial(r)]
+            out.append(F.sub(state[0], w))
+            state[0] = sbox(w)
+            state = mds(state)
+            rnd += 1
+        for r in range(4):
+            for i in range(12):
+                w = wires[self.wire_full_second(r, i)]
+                out.append(F.sub(state[i], w))
+                state[i] = w
+            state = constant_layer(state, rnd)
+            state = [sbox(s) for s in state]
+            state = mds(state)
+            rnd += 1
+        for i in range(12):
+            out.append(F.sub(state[i], wires[self.wire_output(i)]))
+        return out
+
+    def fill(self, row, get_val, set_val):
+        """Witness generation: the same walk over ints (prover hook)."""
+        from .. import poseidon as pos
+        from ..field import P
+        rc, mds_rows = self._round_tables()
+        swap = get_val((row, self.WIRE_SWAP))
+        assert swap in (0, 1), f"swap wire must be boolean at row {row}"
+        ins = [get_val((row, self.wire_input(i))) for i in range(12)]
+        state = list(ins)
+        for i in range(4):
+            delta = swap * (ins[i + 4] - ins[i]) % P
+            set_val((row, self.wire_delta(i)), delta)
+            state[i] = (ins[i] + delta) % P
+            state[i + 4] = (ins[i + 4] - delta) % P
+
+        def constant_layer(st, rnd):
+            return [(s + rc[rnd * 12 + i]) % P for i, s in enumerate(st)]
+
+        def mds(st):
+            return [sum(mds_rows[r][c] * st[c] for c in range(12)) % P
+                    for r in range(12)]
+
+        rnd = 0
+        for r in range(4):
+            if r > 0:
+                for i in range(12):
+                    set_val((row, self.wire_full_first(r, i)), state[i])
+            state = mds([pos._sbox(s) for s in constant_layer(state, rnd)])
+            rnd += 1
+        for r in range(22):
+            state = constant_layer(state, rnd)
+            set_val((row, self.wire_partial(r)), state[0])
+            state[0] = pos._sbox(state[0])
+            state = mds(state)
+            rnd += 1
+        for r in range(4):
+            for i in range(12):
+                set_val((row, self.wire_full_second(r, i)), state[i])
+            state = mds([pos._sbox(s) for s in constant_layer(state, rnd)])
+            rnd += 1
+        for i in range(12):
+            set_val((row, self.wire_output(i)), state[i])
+
+
+# ----------------------------------------------------------------------------
+# Extension-algebra helpers: a degree-2 Goldilocks extension element whose
+# coordinates are F values (plonky2 ExtensionAlgebra — the verifier runs F
+# itself over the extension at zeta, so these are "extension of extension").
+# W = 7 (field.py W; x^2 - 7 irreducible over Goldilocks).
+# ----------------------------------------------------------------------------
+
+_EXT_W = 7
+
+
+def _alg_mul(F, a, b):
+    w = F.from_base(_EXT_W)
+    return (F.add(F.mul(a[0], b[0]), F.mul(w, F.mul(a[1], b[1]))),
+            F.add(F.mul(a[0], b[1]), F.mul(a[1], b[0])))
+
+
+def _alg_scalar_mul(F, s, a):
+    return (F.mul(s, a[0]), F.mul(s, a[1]))
+
+
+def _alg_add(F, a, b):
+    return (F.add(a[0], b[0]), F.add(a[1], b[1]))
+
+
+def _alg_sub(F, a, b):
+    return (F.sub(a[0], b[0]), F.sub(a[1], b[1]))
+
+
+class ArithmeticExtensionGate(Gate):
+    """num_ops independent EXTENSION-field ops sharing row constants c0, c1:
+    out = c0 * m0 * m1 + c1 * addend, where each operand is a degree-2
+    extension element spread over 2 consecutive routed wires (plonky2
+    gates/arithmetic_extension.rs).  Wires per op:
+    [m0.0, m0.1, m1.0, m1.1, addend.0, addend.1, out.0, out.1]."""
+
+    def __init__(self, num_ops):
+        self.num_ops = num_ops
+        self.num_wires = 8 * num_ops
+        self.num_constants = 2
+
+    def id(self):
+        return f"ArithmeticExtensionGate(num_ops={self.num_ops})"
+
+    def degree(self):
+        return 3
+
+    def num_constraints(self):
+        return 2 * self.num_ops
+
+    @staticmethod
+    def wires_ith_op(i):
+        return tuple(range(8 * i, 8 * i + 8))
+
+    def eval(self, F, constants, wires, public_inputs_hash):
+        c0, c1 = constants[0], constants[1]
+        out = []
+        for i in range(self.num_ops):
+            w = self.wires_ith_op(i)
+            m0 = (wires[w[0]], wires[w[1]])
+            m1 = (wires[w[2]], wires[w[3]])
+            addend = (wires[w[4]], wires[w[5]])
+            o = (wires[w[6]], wires[w[7]])
+            computed = _alg_add(F,
+                                _alg_scalar_mul(F, c0, _alg_mul(F, m0, m1)),
+                                _alg_scalar_mul(F, c1, addend))
+            d = _alg_sub(F, computed, o)
+            out.extend([d[0], d[1]])
+        return out
+
+
+class MulExtensionGate(Gate):
+    """num_ops extension multiplies sharing one row constant:
+    out = c0 * m0 * m1 (plonky2 gates/multiplication_extension.rs).
+    Wires per op: [m0.0, m0.1, m1.0, m1.1, out.0, out.1]."""
+
+    def __init__(self, num_ops):
+        self.num_ops = num_ops
+        self.num_wires = 6 * num_ops
+        self.num_constants = 1
+
+    def id(self):
+        return f"MulExtensionGate(num_ops={self.num_ops})"
+
+    def degree(self):
+        return 3
+
+    def num_constraints(self):
+        return 2 * self.num_ops
+
+    @staticmethod
+    def wires_ith_op(i):
+        return tuple(range(6 * i, 6 * i + 6))
+
+    def eval(self, F, constants, wires, public_inputs_hash):
+        c0 = constants[0]
+        out = []
+        for i in range(self.num_ops):
+            w = self.wires_ith_op(i)
+            m0 = (wires[w[0]], wires[w[1]])
+            m1 = (wires[w[2]], wires[w[3]])
+            o = (wires[w[4]], wires[w[5]])
+            computed = _alg_scalar_mul(F, c0, _alg_mul(F, m0, m1))
+            d = _alg_sub(F, computed, o)
+            out.extend([d[0], d[1]])
+        return out
+
+
+class RandomAccessGate(Gate):
+    """Random access into a length-2^bits vector (plonky2
+    gates/random_access.rs): each copy checks
+        claimed == vec[access_index]
+    via a binary select tree over the index's bits.  Routed wires per copy:
+    [access_index, claimed, item_0, ..., item_{2^bits - 1}]; the index bits
+    are unrouted intermediate wires after all copies' routed blocks.
+    Constraints per copy: booleanity of each bit (degree 2), the bit
+    recomposition equals access_index (degree 1), and the select-tree result
+    equals claimed (degree bits + 1)."""
+
+    def __init__(self, bits, num_copies=1):
+        self.bits = bits
+        self.vec_size = 1 << bits
+        self.num_copies = num_copies
+        self._routed = num_copies * (2 + self.vec_size)
+        self.num_wires = self._routed + num_copies * bits
+        self.num_constants = 0
+
+    def id(self):
+        return f"RandomAccessGate(bits={self.bits}, num_copies={self.num_copies})"
+
+    def degree(self):
+        return max(2, self.bits + 1)
+
+    def num_constraints(self):
+        return self.num_copies * (self.bits + 2)
+
+    def wire_index(self, c):
+        return c * (2 + self.vec_size)
+
+    def wire_claimed(self, c):
+        return c * (2 + self.vec_size) + 1
+
+    def wire_item(self, c, i):
+        return c * (2 + self.vec_size) + 2 + i
+
+    def wire_bit(self, c, j):
+        return self._routed + c * self.bits + j
+
+    def eval(self, F, constants, wires, public_inputs_hash):
+        one = F.one()
+        out = []
+        for c in range(self.num_copies):
+            bits = [wires[self.wire_bit(c, j)] for j in range(self.bits)]
+            for b in bits:
+                out.append(F.mul(b, F.sub(b, one)))
+            acc = F.zero()
+            for b in reversed(bits):
+                acc = F.add(F.add(acc, acc), b)
+            out.append(F.sub(acc, wires[self.wire_index(c)]))
+            lst = [wires[self.wire_item(c, i)] for i in range(self.vec_size)]
+            for b in bits:              # LSB-first halving select tree
+                lst = [F.add(lst[2 * i],
+                             F.mul(b, F.sub(lst[2 * i + 1], lst[2 * i])))
+                       for i in range(len(lst) // 2)]
+            out.append(F.sub(lst[0], wires[self.wire_claimed(c)]))
+        return out
+
+
 # ----------------------------------------------------------------------------
 # Selectors (plonky2 gates/selectors.rs)
 # ----------------------------------------------------------------------------

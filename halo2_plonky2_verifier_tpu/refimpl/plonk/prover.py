@@ -11,8 +11,10 @@ from ..challenger import Challenger
 from ..field_ops import BaseOps
 from ..poseidon import hash_no_pad
 from ..prover import PolynomialBatch, fri_prove_openings
-from .gates import (ArithmeticGate, BaseSumGate, ConstantGate,
-                    ExponentiationGate, NoopGate, PublicInputGate)
+from .gates import (ArithmeticExtensionGate, ArithmeticGate, BaseSumGate,
+                    ConstantGate, ExponentiationGate, MulExtensionGate,
+                    NoopGate, PoseidonGate, PublicInputGate,
+                    RandomAccessGate)
 from .proof import PlonkOpeningSet, PlonkProof, PlonkProofWithPublicInputs
 from .vanishing import eval_vanishing_terms
 
@@ -62,6 +64,37 @@ def fill_witness(builder, common, input_values):
                 cur = cur * cur * (bit * (base - 1) + 1) % gl.P
                 set_val((row, gate.wire_intermediate(i)), cur)
             set_val((row, gate.wire_output), cur)
+        elif isinstance(gate, ArithmeticExtensionGate):
+            c0, c1 = consts[0], consts[1]
+            for op in range(gate.num_ops):
+                w = gate.wires_ith_op(op)
+                m0 = (get_val((row, w[0])), get_val((row, w[1])))
+                m1 = (get_val((row, w[2])), get_val((row, w[3])))
+                ad = (get_val((row, w[4])), get_val((row, w[5])))
+                v = gl.ext_add(gl.ext_scalar_mul(gl.ext_mul(m0, m1), c0),
+                               gl.ext_scalar_mul(ad, c1))
+                set_val((row, w[6]), v[0])
+                set_val((row, w[7]), v[1])
+        elif isinstance(gate, MulExtensionGate):
+            c0 = consts[0]
+            for op in range(gate.num_ops):
+                w = gate.wires_ith_op(op)
+                m0 = (get_val((row, w[0])), get_val((row, w[1])))
+                m1 = (get_val((row, w[2])), get_val((row, w[3])))
+                v = gl.ext_scalar_mul(gl.ext_mul(m0, m1), c0)
+                set_val((row, w[4]), v[0])
+                set_val((row, w[5]), v[1])
+        elif isinstance(gate, RandomAccessGate):
+            for c in range(gate.num_copies):
+                idx = get_val((row, gate.wire_index(c)))
+                assert idx < gate.vec_size, \
+                    f"random access index {idx} out of range at row {row}"
+                for j in range(gate.bits):
+                    set_val((row, gate.wire_bit(c, j)), (idx >> j) & 1)
+                set_val((row, gate.wire_claimed(c)),
+                        get_val((row, gate.wire_item(c, idx))))
+        elif isinstance(gate, PoseidonGate):
+            gate.fill(row, get_val, set_val)
         elif isinstance(gate, PublicInputGate):
             pis = [get_val(t) for t in builder.public_inputs]
             pi_hash = hash_no_pad(pis)

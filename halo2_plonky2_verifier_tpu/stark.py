@@ -102,6 +102,12 @@ class ExtOpsJax:
             return (gl.full(self.batch_shape, x), gl.zeros(self.batch_shape))
         return gle.from_base(x)
 
+    def mul_const_small(self, c, a):
+        """a * c for a small host int (< 2^16) — 2 gl.mul_const_small instead
+        of a full extension multiply (keeps e.g. the PoseidonGate's 4320
+        MDS constant-multiplies out of the unrolled-modmul graph budget)."""
+        return (gl.mul_const_small(a[0], c), gl.mul_const_small(a[1], c))
+
 
 def _ext_rows(pair):
     """(B, n, 2) gl pair -> list of n ext (B,) values."""

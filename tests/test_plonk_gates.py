@@ -81,3 +81,181 @@ def test_exponentiation_gate_jax():
     batch = load_plonk_proofs(proofs + [bad], shape, vd)
     vf = smart_jit(build_plonk_verifier(common, vd))
     assert np.asarray(vf(batch)).tolist() == [True, True, True, False]
+
+
+# ----------------------------------------------------------------------------
+# Extension-algebra gates + RandomAccessGate
+# ----------------------------------------------------------------------------
+
+def build_ext_ra_circuit(cfg):
+    """out = a * b + c over GF(p^2) (MulExtensionGate +
+    ArithmeticExtensionGate) and picked = items[idx] (RandomAccessGate);
+    everything public."""
+    b = CircuitBuilder(cfg)
+    a = (b.add_input(), b.add_input())
+    bb = (b.add_input(), b.add_input())
+    c = (b.add_input(), b.add_input())
+    s = b.add_extension(b.mul_extension(a, bb), c)
+    idx = b.add_input()
+    items = [b.constant(v) for v in (11, 22, 33, 44, 55)]
+    picked = b.random_access(idx, items)
+    for t in (*a, *bb, *c, *s, picked, idx):
+        b.register_public_input(t)
+    return b, (a, bb, c, idx)
+
+
+def _setup_ext(num_queries=4):
+    cfg = CircuitConfig(fri_config=small_fri(num_queries))
+    b, ins = build_ext_ra_circuit(cfg)
+    common, prover_data, verifier_data, builder = b.build()
+    return common, prover_data, verifier_data, builder, ins
+
+
+def _ext_inputs(av, bv, cv, iv, ins):
+    a, bb, c, idx = ins
+    return {a[0]: av[0], a[1]: av[1], bb[0]: bv[0], bb[1]: bv[1],
+            c[0]: cv[0], c[1]: cv[1], idx: iv}
+
+
+def test_extension_gates_refimpl():
+    common, pd, vd, builder, ins = _setup_ext()
+    ids = [g.id() for g in common.gates]
+    assert any("ArithmeticExtensionGate" in i for i in ids)
+    assert any("MulExtensionGate" in i for i in ids)
+    assert any("RandomAccessGate" in i for i in ids)
+    items = (11, 22, 33, 44, 55)
+    for av, bv, cv, iv in (((3, 5), (7, 9), (100, 200), 3),
+                           ((0, 1), (0, 1), (0, 0), 0),
+                           ((gl.P - 1, 2), (5, gl.P - 3), (1, 1), 4)):
+        pwp = prove(common, pd, builder, _ext_inputs(av, bv, cv, iv, ins))
+        exp = gl.ext_add(gl.ext_mul(av, bv), cv)
+        assert (pwp.public_inputs[6], pwp.public_inputs[7]) == exp
+        assert pwp.public_inputs[8] == items[iv]
+        verify(common, vd, pwp)
+
+    # tampered random-access result must be rejected
+    pwp = prove(common, pd, builder, _ext_inputs((3, 5), (7, 9), (1, 2), 2, ins))
+    bad = copy.deepcopy(pwp)
+    bad.public_inputs[8] = items[3]
+    with pytest.raises(VerificationError):
+        verify(common, vd, bad)
+
+
+def test_random_access_index_range():
+    """The witness generator must refuse an out-of-range access index (the
+    in-circuit defense is the bit recomposition + booleanity constraints)."""
+    common, pd, vd, builder, ins = _setup_ext()
+    with pytest.raises(AssertionError):
+        prove(common, pd, builder, _ext_inputs((1, 1), (1, 1), (0, 0), 8, ins))
+
+
+def test_extension_gates_jax():
+    common, pd, vd, builder, ins = _setup_ext()
+    proofs = [prove(common, pd, builder, _ext_inputs(av, bv, cv, iv, ins))
+              for av, bv, cv, iv in (((3, 5), (7, 9), (100, 200), 3),
+                                     ((2, 0), (0, 4), (9, 9), 1))]
+    bad = copy.deepcopy(proofs[0])
+    bad.public_inputs[6] = (bad.public_inputs[6] + 1) % gl.P
+
+    shape = plonk_proof_shape(common, len(proofs[0].public_inputs))
+    batch = load_plonk_proofs(proofs + [bad], shape, vd)
+    vf = smart_jit(build_plonk_verifier(common, vd))
+    assert np.asarray(vf(batch)).tolist() == [True, True, False]
+
+
+# ----------------------------------------------------------------------------
+# PoseidonGate (in-circuit Poseidon permutation / sponge)
+# ----------------------------------------------------------------------------
+
+from halo2_plonky2_verifier_tpu.refimpl import poseidon as pos
+
+
+def _poseidon_cfg(num_queries=4):
+    return CircuitConfig(num_wires=135, num_routed_wires=28,
+                         fri_config=small_fri(num_queries))
+
+
+def _setup_poseidon():
+    b = CircuitBuilder(_poseidon_cfg())
+    ins = [b.add_input() for _ in range(12)]
+    swap = b.add_input()
+    outs = b.permute_poseidon(ins, swap=swap)
+    for t in ins + [swap] + outs:
+        b.register_public_input(t)
+    common, pd, vd, builder = b.build()
+    return common, pd, vd, builder, (ins, swap)
+
+
+def _permute_inputs(vals12, sw, ins, swap):
+    m = {t: v for t, v in zip(ins, vals12)}
+    m[swap] = sw
+    return m
+
+
+def test_poseidon_gate_refimpl():
+    """In-circuit permutation == refimpl.poseidon.permute (which is itself
+    KAT-pinned), for both swap polarities; tampered output rejected."""
+    common, pd, vd, builder, (ins, swap) = _setup_poseidon()
+    assert any("PoseidonGate" in g.id() for g in common.gates)
+    g = next(g for g in common.gates if "PoseidonGate" in g.id())
+    assert g.num_wires == 135 and g.num_constraints() == 123  # plonky2 parity
+    vals12 = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+    for sw in (0, 1):
+        pwp = prove(common, pd, builder,
+                    _permute_inputs(vals12, sw, ins, swap))
+        st = list(vals12)
+        if sw:
+            for i in range(4):
+                st[i], st[i + 4] = st[i + 4], st[i]
+        assert pwp.public_inputs[13:25] == pos.permute(st)
+        verify(common, vd, pwp)
+
+    bad = copy.deepcopy(pwp)
+    bad.public_inputs[13] = (bad.public_inputs[13] + 1) % gl.P
+    with pytest.raises(VerificationError):
+        verify(common, vd, bad)
+
+
+def test_poseidon_gate_swap_booleanity():
+    """A non-boolean swap wire must be refused by the witness generator (the
+    in-circuit constraint is swap * (swap - 1) == 0)."""
+    common, pd, vd, builder, (ins, swap) = _setup_poseidon()
+    with pytest.raises(AssertionError):
+        prove(common, pd, builder,
+              _permute_inputs(list(range(12)), 2, ins, swap))
+
+
+def test_poseidon_sponge_circuit():
+    """hash_n_to_m_no_pad builder helper (2 chained PoseidonGates for a
+    9-element input) == refimpl hash_no_pad."""
+    b = CircuitBuilder(_poseidon_cfg())
+    ins = [b.add_input() for _ in range(9)]
+    digest = b.hash_n_to_m_no_pad(ins)
+    for t in ins + digest:
+        b.register_public_input(t)
+    common, pd, vd, builder = b.build()
+    assert sum(1 for gi, _ in common.gate_instances
+               if "PoseidonGate" in common.gates[gi].id()) == 2
+    vals = [11, 22, 33, 44, 55, 66, 77, 88, 99]
+    pwp = prove(common, pd, builder, {t: v for t, v in zip(ins, vals)})
+    from halo2_plonky2_verifier_tpu.refimpl.poseidon import hash_no_pad
+    assert pwp.public_inputs[9:13] == hash_no_pad(vals)
+    verify(common, vd, pwp)
+
+
+def test_poseidon_gate_jax():
+    """The batched TPU-lane verifier accepts PoseidonGate proofs and rejects
+    a tampered one — the gate eval is F-generic, so the same definition
+    drives the jnp path (mul_const_small keeps the MDS out of the unrolled
+    modmul budget)."""
+    common, pd, vd, builder, (ins, swap) = _setup_poseidon()
+    vals12 = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+    proofs = [prove(common, pd, builder,
+                    _permute_inputs(vals12, sw, ins, swap)) for sw in (0, 1)]
+    bad = copy.deepcopy(proofs[0])
+    bad.public_inputs[13] = (bad.public_inputs[13] + 1) % gl.P
+
+    shape = plonk_proof_shape(common, len(proofs[0].public_inputs))
+    batch = load_plonk_proofs(proofs + [bad], shape, vd)
+    vf = smart_jit(build_plonk_verifier(common, vd))
+    assert np.asarray(vf(batch)).tolist() == [True, True, False]

@@ -50,6 +50,7 @@ class PlonkProofShape:
     proof_of_work_bits: int
     degree_bits: int
     hasher: str = "poseidon_goldilocks"
+    num_lookup_polys: int = 0   # logUp S polys (num_challenges * num_luts)
 
     @property
     def step_depths(self):
@@ -64,7 +65,8 @@ class PlonkProofShape:
     def oracle_widths(self):
         return (self.num_constants + self.num_routed_wires,
                 self.num_wires,
-                self.num_challenges * (1 + self.num_partial_products),
+                self.num_challenges * (1 + self.num_partial_products)
+                + self.num_lookup_polys,
                 self.num_challenges * self.quotient_degree_factor)
 
 
@@ -87,6 +89,7 @@ def plonk_proof_shape(common, num_public_inputs) -> PlonkProofShape:
         num_queries=cfg.fri_config.num_query_rounds,
         proof_of_work_bits=cfg.fri_config.proof_of_work_bits,
         degree_bits=common.degree_bits,
+        num_lookup_polys=common.num_lookup_polys,
     )
 
 
@@ -106,6 +109,8 @@ class PlonkProofBatch:
     plonk_zs_next: tuple
     partial_products: tuple
     quotient_polys: tuple
+    lookup_zs: tuple              # None when the circuit has no lookup tables
+    lookup_zs_next: tuple
     commit_caps: list
     final_poly: tuple
     pow_witness: tuple
@@ -129,9 +134,9 @@ import jax.tree_util as _jtu
 _PLONK_FIELDS = (
     "constants_sigmas_cap", "wires_cap", "zs_pp_cap", "quotient_cap",
     "constants", "plonk_sigmas", "wires", "plonk_zs", "plonk_zs_next",
-    "partial_products", "quotient_polys", "commit_caps", "final_poly",
-    "pow_witness", "initial_evals", "initial_siblings", "step_evals",
-    "step_siblings", "public_inputs")
+    "partial_products", "quotient_polys", "lookup_zs", "lookup_zs_next",
+    "commit_caps", "final_poly", "pow_witness", "initial_evals",
+    "initial_siblings", "step_evals", "step_siblings", "public_inputs")
 
 _jtu.register_pytree_node(
     PlonkProofBatch,
@@ -191,6 +196,10 @@ def load_plonk_proofs(proofs, shape: PlonkProofShape,
         plonk_zs_next=o(lambda x: x.plonk_zs_next),
         partial_products=o(lambda x: x.partial_products),
         quotient_polys=o(lambda x: x.quotient_polys),
+        lookup_zs=(o(lambda x: x.lookup_zs)
+                   if S.num_lookup_polys else None),
+        lookup_zs_next=(o(lambda x: x.lookup_zs_next)
+                        if S.num_lookup_polys else None),
         commit_caps=commit_caps,
         final_poly=exts(lambda p: p.proof.opening_proof.final_poly),
         pow_witness=gl.from_u64(_u64(
@@ -208,6 +217,8 @@ def _canonicality(batch):
     verdict = jnp.ones((B,), dtype=bool)
     for f in _PLONK_FIELDS:
         v = getattr(batch, f)
+        if v is None:
+            continue
         groups = v if isinstance(v, list) else [v]
         for pair in groups:
             ok = gl.is_canonical(pair)
@@ -220,11 +231,13 @@ def fri_instance_polys(S: PlonkProofShape):
     cs = [(0, i) for i in range(S.num_constants + S.num_routed_wires)]
     wires = [(1, i) for i in range(S.num_wires)]
     zs = [(2, i) for i in range(S.num_challenges)]
-    pps = [(2, S.num_challenges + i)
-           for i in range(S.num_challenges * S.num_partial_products)]
+    npp = S.num_challenges * S.num_partial_products
+    pps = [(2, S.num_challenges + i) for i in range(npp)]
+    lus = [(2, S.num_challenges + npp + i)
+           for i in range(S.num_lookup_polys)]
     quot = [(3, i)
             for i in range(S.num_challenges * S.quotient_degree_factor)]
-    return cs + wires + zs + pps + quot, zs
+    return cs + wires + zs + pps + quot + lus, zs + lus
 
 
 def build_plonk_verifier(common, verifier_data, num_public_inputs=None):
@@ -264,6 +277,8 @@ def build_plonk_verifier(common, verifier_data, num_public_inputs=None):
         observe(batch.wires_cap)
         beta_refs = sched.get_n_challenges(S.num_challenges)
         gamma_refs = sched.get_n_challenges(S.num_challenges)
+        delta_refs = (sched.get_n_challenges(2 * S.num_challenges)
+                      if S.num_lookup_polys else [])
         observe(batch.zs_pp_cap)
         alpha_refs = sched.get_n_challenges(S.num_challenges)
         observe(batch.quotient_cap)
@@ -276,7 +291,11 @@ def build_plonk_verifier(common, verifier_data, num_public_inputs=None):
         observe(batch.plonk_zs)
         observe(batch.partial_products)
         observe(batch.quotient_polys)
+        if batch.lookup_zs is not None:
+            observe(batch.lookup_zs)
         observe(batch.plonk_zs_next)
+        if batch.lookup_zs_next is not None:
+            observe(batch.lookup_zs_next)
 
         fri_alpha_ref = sched.get_extension_challenge()
         fri_beta_refs = []
@@ -294,6 +313,7 @@ def build_plonk_verifier(common, verifier_data, num_public_inputs=None):
 
         betas = [extract(ys, r) for r in beta_refs]
         gammas = [extract(ys, r) for r in gamma_refs]
+        deltas = [extract(ys, r) for r in delta_refs]
         alphas = [extract(ys, r) for r in alpha_refs]
         zeta = extract_ext(ys, zeta_ref)
         fri_alpha = extract_ext(ys, fri_alpha_ref)
@@ -325,7 +345,12 @@ def build_plonk_verifier(common, verifier_data, num_public_inputs=None):
                 _ext_rows(batch.wires),
                 _ext_rows(batch.plonk_zs), _ext_rows(batch.plonk_zs_next),
                 _ext_rows(batch.partial_products),
-                pi_hash_ext, betas, gammas, l0)
+                pi_hash_ext, betas, gammas, l0,
+                lookup_zs=(_ext_rows(batch.lookup_zs)
+                           if batch.lookup_zs is not None else []),
+                lookup_zs_next=(_ext_rows(batch.lookup_zs_next)
+                                if batch.lookup_zs_next is not None else []),
+                deltas=deltas)
             quot_rows = _ext_rows(batch.quotient_polys)
             q = S.quotient_degree_factor
             for i in range(S.num_challenges):
@@ -347,8 +372,12 @@ def build_plonk_verifier(common, verifier_data, num_public_inputs=None):
                          + _ext_rows(batch.wires)
                          + _ext_rows(batch.plonk_zs)
                          + _ext_rows(batch.partial_products)
-                         + _ext_rows(batch.quotient_polys))
-        openings_zeta_next = _ext_rows(batch.plonk_zs_next)
+                         + _ext_rows(batch.quotient_polys)
+                         + (_ext_rows(batch.lookup_zs)
+                            if batch.lookup_zs is not None else []))
+        openings_zeta_next = (_ext_rows(batch.plonk_zs_next)
+                              + (_ext_rows(batch.lookup_zs_next)
+                                 if batch.lookup_zs_next is not None else []))
         challenges = {
             "fri_alpha": fri_alpha,
             "fri_betas": fri_betas,

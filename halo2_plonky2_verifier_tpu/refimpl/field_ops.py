@@ -3,8 +3,23 @@
 from . import field as gl
 
 
+def generic_fold(body, carry, xs):
+    """Sequential fold over per-step pytrees of F-values:
+    body(carry, x) -> (carry, y); returns (carry, [y...]).  The jnp adapter
+    (stark.ExtOpsJax.fold) overrides this with ONE lax.scan so repeated
+    gate-eval structure never unrolls into the jaxpr (graph-size
+    discipline)."""
+    ys = []
+    for x in xs:
+        carry, y = body(carry, x)
+        ys.append(y)
+    return carry, ys
+
+
 class BaseOps:
     """GF(p) with plain ints."""
+
+    fold = staticmethod(generic_fold)
 
     @staticmethod
     def zero():
@@ -37,6 +52,8 @@ class BaseOps:
 
 class ExtOps:
     """GF(p^2) with (a0, a1) tuples."""
+
+    fold = staticmethod(generic_fold)
 
     @staticmethod
     def zero():

@@ -128,19 +128,24 @@ def get_fibonacci_batch_columnar(num_rows, count, config=None, cache_dir=None,
 
 
 def bench_plonk_circuit(cfg=None, steps=60):
-    """Deterministic PLONK bench circuit: a Fibonacci chain plus one of each
-    arithmetic-family gate (mul, full arithmetic op, exponentiation, base-sum
-    range decomposition) so the gate-filter path is exercised, not just
-    ArithmeticGate.  Mirrors the shape of the reference's WIP PLONK roadmap
-    target (/root/reference/README.md:5-12) at plonky2's
-    standard_recursion_config FRI parameters."""
+    """Deterministic PLONK bench circuit with plonky2's FULL
+    standard_recursion gate mix — every gate type the plonky2 recursive
+    verifier circuit uses (the reference's recursion target,
+    /root/reference/verifier/src/test_util/fibonacci_stark.rs:210-232):
+    Noop, Constant, PublicInput, Arithmetic, ArithmeticExtension,
+    MulExtension, BaseSum, Exponentiation, RandomAccess, Reducing,
+    ReducingExtension, CosetInterpolation, Poseidon, PoseidonMds — at the
+    standard_recursion_config geometry (135 wires / 80 routed, rate 1/8,
+    cap 2^4, 28 queries, arity-16 folds)."""
     from ..utils.config import FriConfig
     from .plonk import CircuitBuilder, CircuitConfig
 
     if cfg is None:
-        cfg = CircuitConfig(fri_config=FriConfig(
-            rate_bits=3, cap_height=4, proof_of_work_bits=16,
-            reduction_strategy=(4, 5), num_query_rounds=28))
+        cfg = CircuitConfig(
+            num_wires=135, num_routed_wires=80,
+            fri_config=FriConfig(
+                rate_bits=3, cap_height=4, proof_of_work_bits=16,
+                reduction_strategy=(4, 5), num_query_rounds=28))
     b = CircuitBuilder(cfg)
     a = b.add_input()
     x = b.add_input()
@@ -154,6 +159,28 @@ def bench_plonk_circuit(cfg=None, steps=60):
     b.split_le(e, 15)
     z = b.arithmetic(3, 5, y, b.constant(2), cur)
     b.register_public_input(z)
+
+    # the recursion-verifier gate mix, fed from the chain so every proof's
+    # witness differs: a sponge digest (PoseidonGate), an explicit MDS step
+    # (PoseidonMdsGate), alpha-fold reductions (Reducing / ReducingExtension),
+    # an arity-16 coset interpolation (CosetInterpolationGate — the FRI fold
+    # step), a random access pick, and extension arithmetic gluing them.
+    digest = b.hash_n_to_m_no_pad([a, x, cur, z], 8)
+    alpha = (digest[0], digest[1])
+    red = b.reduce_with_powers(alpha, [cur, z, y, digest[2]])
+    rede = b.reduce_with_powers_ext(
+        alpha, [(digest[2], digest[3]), (digest[4], digest[5]), (z, y)])
+    state = [(digest[i % 8], digest[(i + 3) % 8]) for i in range(12)]
+    mds = b.mds_permute_ext(state)
+    values = [mds[i % 12] for i in range(16)]
+    pt = b.add_extension(b.mul_extension(red, rede), alpha)
+    interp = b.interpolate_coset(4, b.constant(7), values, pt)
+    bits = b.split_le(digest[6], 64)
+    idx = b.arithmetic(2, 1, bits[1], b.constant(1), bits[0])
+    idx = b.arithmetic(4, 1, bits[2], b.constant(1), idx)
+    picked = b.random_access(idx, [d for d in digest[:8]])
+    for t in (*interp, picked):
+        b.register_public_input(t)
     return b, (a, x)
 
 
@@ -168,7 +195,7 @@ def get_plonk_proof_batch(count, steps=60, cache_dir=None):
     cache_dir = cache_dir or FIXTURE_DIR
     b, (a, x) = bench_plonk_circuit(steps=steps)
     common, prover_data, verifier_data, builder = b.build()
-    path = os.path.join(cache_dir, f"plonk_fib_s{steps}_x{count}.jsonl")
+    path = os.path.join(cache_dir, f"plonk_recmix_s{steps}_x{count}.jsonl")
     if os.path.exists(path):
         with open(path) as f:
             proofs = [plonk_proof_from_json(line) for line in f if line.strip()]

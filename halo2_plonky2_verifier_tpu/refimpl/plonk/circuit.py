@@ -39,12 +39,18 @@ from .gates import (
     ArithmeticGate,
     BaseSumGate,
     ConstantGate,
+    CosetInterpolationGate,
     ExponentiationGate,
+    LookupGate,
+    LookupTableGate,
     MulExtensionGate,
     NoopGate,
     PoseidonGate,
+    PoseidonMdsGate,
     PublicInputGate,
     RandomAccessGate,
+    ReducingExtensionGate,
+    ReducingGate,
     compute_selector_groups,
 )
 
@@ -59,6 +65,17 @@ class CircuitConfig:
 
 
 Target = Tuple[int, int]  # (row, column)
+
+
+@dataclass(frozen=True)
+class LutMeta:
+    """Per-lookup-table metadata the vanishing layer needs (plonky2
+    CommonCircuitData::luts analog, plus our preprocessed boolean
+    lookup-selector column indices)."""
+    table: tuple            # ((inp, out), ...) canonical ints
+    num_slots: int          # slots per LookupGate/LookupTableGate row
+    sel_lk: int             # constants-opening index of the q_lookup column
+    sel_tbl: int            # constants-opening index of the q_table column
 
 
 def compute_circuit_digest(constants_sigmas_cap, degree_bits):
@@ -77,12 +94,19 @@ class CommonCircuitData:
     selector_groups: list       # [(start, end)] ranges over `gates`
     gate_instances: list        # per-row (gate_list_index, constants)
     num_gate_constraints: int
-    num_constants: int          # selectors + gate constants (opened together)
+    num_constants: int          # selectors + gate constants + lookup selectors
     k_is: list
+    luts: list = dc_field(default_factory=list)   # LutMeta per lookup table
 
     @property
     def num_selectors(self):
         return len(self.selector_groups)
+
+    @property
+    def num_lookup_polys(self):
+        """Lookup S polynomials committed in the zs_partial_products oracle:
+        one per (challenge, lut)."""
+        return self.config.num_challenges * len(self.luts)
 
     @property
     def quotient_degree_factor(self):
@@ -109,13 +133,16 @@ class CommonCircuitData:
         cs = [(0, i) for i in range(self.num_constants + cfg.num_routed_wires)]
         wires = [(1, i) for i in range(cfg.num_wires)]
         zs = [(2, i) for i in range(cfg.num_challenges)]
-        pps = [(2, cfg.num_challenges + i)
-               for i in range(cfg.num_challenges * self.num_partial_products)]
+        npp = cfg.num_challenges * self.num_partial_products
+        pps = [(2, cfg.num_challenges + i) for i in range(npp)]
+        lus = [(2, cfg.num_challenges + npp + i)
+               for i in range(self.num_lookup_polys)]
         quot = [(3, i)
                 for i in range(cfg.num_challenges * self.quotient_degree_factor)]
         g_sub = gl.primitive_root_of_unity(self.degree_bits)
         zeta_next = gl.ext_mul(gl.ext_from_base(g_sub), zeta)
-        return [(zeta, cs + wires + zs + pps + quot), (zeta_next, zs)]
+        return [(zeta, cs + wires + zs + pps + quot + lus),
+                (zeta_next, zs + lus)]
 
 
 @dataclass
@@ -161,6 +188,9 @@ class CircuitBuilder:
         self._arith_slots = {}      # (c0, c1) -> (row, next_op)
         self._arith_ext_slots = {}  # (c0, c1) -> (row, next_op)
         self._mul_ext_slot = None   # (row, next_op)
+        self.luts = []              # registered lookup tables (tuple of pairs)
+        self.lookup_rows = {}       # lut_index -> [rows] (LookupGate rows)
+        self._lookup_slot = {}      # lut_index -> [row, next_slot]
 
     # -- gate allocation ------------------------------------------------------
 
@@ -331,6 +361,116 @@ class CircuitBuilder:
             self.connect(t, (row, gate.wire_item(0, i)))
         return (row, gate.wire_claimed(0))
 
+    def _connect_ext(self, pair, row, wires2):
+        self.connect(pair[0], (row, wires2[0]))
+        self.connect(pair[1], (row, wires2[1]))
+
+    def _reducing_capacity(self, per_coeff_wires):
+        """Max coeffs per Reducing(Extension)Gate row under the wire budget:
+        routed 6 + per*c, total 4 + (per + 2)*c."""
+        cfg = self.config
+        c = min((cfg.num_routed_wires - 6) // per_coeff_wires,
+                (cfg.num_wires - 4) // (per_coeff_wires + 2))
+        assert c >= 1, "config too narrow for a Reducing gate"
+        return c
+
+    def _reduce_chunks(self, alpha, coeffs, make_gate, route_coeff, per):
+        acc = self.zero_extension()
+        cap = self._reducing_capacity(per)
+        for lo in range(0, len(coeffs), cap):
+            chunk = coeffs[lo:lo + cap]
+            gate = make_gate(len(chunk))
+            row = self.add_gate(gate)
+            self._connect_ext(alpha, row, gate.wires_alpha())
+            self._connect_ext(acc, row, gate.wires_old_acc())
+            for j, t in enumerate(chunk):
+                route_coeff(gate, row, j, t)
+            w = gate.wires_output()
+            acc = ((row, w[0]), (row, w[1]))
+        return acc
+
+    def reduce_with_powers(self, alpha, terms):
+        """sum_i alpha^i * terms[i] for BASE-field term targets, alpha an
+        extension pair — Horner from the last term through ReducingGate rows
+        (plonky2 ReducingFactor::reduce)."""
+        return self._reduce_chunks(
+            alpha, list(reversed(terms)), ReducingGate,
+            lambda g, row, j, t: self.connect(t, (row, g.wire_coeff(j))), 1)
+
+    def reduce_with_powers_ext(self, alpha, terms):
+        """sum_i alpha^i * terms[i] for EXTENSION term pairs via
+        ReducingExtensionGate rows."""
+        return self._reduce_chunks(
+            alpha, list(reversed(terms)), ReducingExtensionGate,
+            lambda g, row, j, t: self._connect_ext(t, row, g.wires_coeff(j)),
+            2)
+
+    def mds_permute_ext(self, state):
+        """Poseidon MDS over 12 extension pairs (PoseidonMdsGate)."""
+        assert len(state) == 12
+        gate = PoseidonMdsGate()
+        assert gate.num_wires <= self.config.num_routed_wires, \
+            "PoseidonMdsGate needs num_routed_wires >= 48"
+        row = self.add_gate(gate)
+        for i, pair in enumerate(state):
+            self._connect_ext(pair, row, gate.wires_input(i))
+        return [tuple((row, w) for w in gate.wires_output(i))
+                for i in range(12)]
+
+    def interpolate_coset(self, subgroup_bits, shift, values,
+                          evaluation_point, max_degree=6):
+        """Interpolate the extension `values` (2^subgroup_bits pairs) on the
+        coset shift*H and evaluate at the extension pair `evaluation_point`
+        (CosetInterpolationGate — plonky2's recursive-FRI fold step)."""
+        gate = CosetInterpolationGate(subgroup_bits, max_degree)
+        assert len(values) == gate.num_points
+        assert gate.num_routed <= self.config.num_routed_wires, \
+            "coset too wide for the routed-wire budget"
+        assert gate.num_wires <= self.config.num_wires
+        row = self.add_gate(gate)
+        self.connect(shift, (row, gate.wire_shift))
+        for i, pair in enumerate(values):
+            self._connect_ext(pair, row, gate.wires_value(i))
+        self._connect_ext(evaluation_point, row,
+                          gate.wires_evaluation_point())
+        return tuple((row, w) for w in gate.wires_evaluation_value())
+
+    def lookup_slots_per_row(self):
+        """Single-chunk logUp: the per-row transition term has degree
+        2 + num_slots (q * delta_acc * prod over slots), so the slot count
+        is bounded by the quotient degree factor AND the routed-wire budget
+        (a LookupGate slot is 2 routed wires)."""
+        return max(1, min(self.config.max_quotient_degree_factor - 2,
+                          self.config.num_routed_wires // 2))
+
+    def add_lookup_table(self, pairs) -> int:
+        """Register a lookup table of (input, output) pairs; returns its
+        index (plonky2 CircuitBuilder::add_lookup_table_from_pairs).  Table
+        rows (LookupTableGate) are emitted at build()."""
+        assert pairs, "empty lookup table"
+        self.luts.append(tuple((int(i) % gl.P, int(o) % gl.P)
+                               for i, o in pairs))
+        return len(self.luts) - 1
+
+    def add_lookup(self, inp: Target, lut_index: int) -> Target:
+        """out = table[inp] via a LookupGate slot (plonky2
+        CircuitBuilder::add_lookup_from_index); the logUp argument proves
+        (inp, out) is in the table."""
+        L = self.lookup_slots_per_row()
+        slot = self._lookup_slot.get(lut_index)
+        # never reuse a slot row older than the input's producing row: the
+        # witness pass is sequential by row, so a lookup row must come after
+        # every row its inputs are set on
+        if slot is None or slot[1] >= L or inp[0] > slot[0]:
+            row = self.add_gate(
+                LookupGate(L, lut_index, self.luts[lut_index]))
+            self.lookup_rows.setdefault(lut_index, []).append(row)
+            slot = self._lookup_slot[lut_index] = [row, 0]
+        row, s = slot
+        slot[1] += 1
+        self.connect(inp, (row, LookupGate.wire_inp(s)))
+        return (row, LookupGate.wire_out(s))
+
     def connect(self, a: Target, b: Target):
         assert a[1] < self.config.num_routed_wires
         assert b[1] < self.config.num_routed_wires
@@ -343,6 +483,30 @@ class CircuitBuilder:
 
     def build(self):
         cfg = self.config
+        # -- lookups: pad open LookupGate rows (unused slots alias slot 0, so
+        # they contribute duplicate lookups, which the multiplicities absorb)
+        # and emit the LookupTableGate rows (tables live at the end of the
+        # circuit, after every looking row — plonky2's layout, and what lets
+        # the sequential witness pass count multiplicities) -----------------
+        table_rows = {}
+        for li in range(len(self.luts)):
+            L = self.lookup_slots_per_row()
+            slot = self._lookup_slot.get(li)
+            if slot is not None:
+                row, used = slot
+                for s in range(used, L):
+                    self.connect((row, LookupGate.wire_inp(s)),
+                                 (row, LookupGate.wire_inp(0)))
+                    self.connect((row, LookupGate.wire_out(s)),
+                                 (row, LookupGate.wire_out(0)))
+            entries = list(self.luts[li])
+            pad = -len(entries) % L
+            entries.extend([entries[-1]] * pad)
+            rows = []
+            for lo in range(0, len(entries), L):
+                consts = [x for pair in entries[lo:lo + L] for x in pair]
+                rows.append(self.add_gate(LookupTableGate(L, li), consts))
+            table_rows[li] = rows
         self.add_gate(PublicInputGate())
         # pad rows to a power of two (>= 4 so L_0 / L_last are distinct rows)
         n = max(4, 1 << (len(self.rows) - 1).bit_length())
@@ -395,9 +559,28 @@ class CircuitBuilder:
                 nrow, ncol = cells[(t + 1) % len(cells)]
                 sigma_values[col][row] = k_is[ncol] * subgroup[nrow] % gl.P
 
+        # preprocessed boolean lookup-selector columns (q_lookup, q_table per
+        # lut), appended after the gate constants so the constants opening
+        # carries them (the logUp terms gate on these instead of the generic
+        # gate filters, keeping the transition degree at 2 + num_slots)
+        lut_sel_values = []
+        lut_metas = []
+        for li, table in enumerate(self.luts):
+            q_lk = [0] * n
+            for row in self.lookup_rows.get(li, []):
+                q_lk[row] = 1
+            q_tbl = [0] * n
+            for row in table_rows[li]:
+                q_tbl[row] = 1
+            base = num_selectors + num_gate_constants + 2 * li
+            lut_metas.append(LutMeta(
+                table=table, num_slots=self.lookup_slots_per_row(),
+                sel_lk=base, sel_tbl=base + 1))
+            lut_sel_values.extend([q_lk, q_tbl])
+
         from ..prover import PolynomialBatch
 
-        cs_values = sel_values + const_values + sigma_values
+        cs_values = sel_values + const_values + lut_sel_values + sigma_values
         cs_batch = PolynomialBatch.from_values(
             cs_values, cfg.fri_config.rate_bits, cfg.fri_config.cap_height)
 
@@ -412,8 +595,10 @@ class CircuitBuilder:
                             for (g, consts) in self.rows],
             num_gate_constraints=max((g.num_constraints() for g in gates),
                                      default=0),
-            num_constants=num_selectors + num_gate_constants,
+            num_constants=(num_selectors + num_gate_constants
+                           + 2 * len(self.luts)),
             k_is=k_is,
+            luts=lut_metas,
         )
         verifier_data = VerifierCircuitData(
             constants_sigmas_cap=cs_batch.merkle_tree.cap,

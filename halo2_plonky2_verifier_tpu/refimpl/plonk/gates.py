@@ -329,33 +329,47 @@ class PoseidonGate(Gate):
             state[i] = F.add(ins[i], deltas[i])
             state[i + 4] = F.sub(ins[i + 4], deltas[i])
 
-        rnd = 0
-        for r in range(4):
-            if r > 0:
-                for i in range(12):
-                    w = wires[self.wire_full_first(r, i)]
-                    out.append(F.sub(state[i], w))
-                    state[i] = w
-            state = constant_layer(state, rnd)
-            state = [sbox(s) for s in state]
-            state = mds(state)
-            rnd += 1
-        for r in range(22):
-            state = constant_layer(state, rnd)
-            w = wires[self.wire_partial(r)]
-            out.append(F.sub(state[0], w))
-            state[0] = sbox(w)
-            state = mds(state)
-            rnd += 1
-        for r in range(4):
-            for i in range(12):
-                w = wires[self.wire_full_second(r, i)]
-                out.append(F.sub(state[i], w))
-                state[i] = w
-            state = constant_layer(state, rnd)
-            state = [sbox(s) for s in state]
-            state = mds(state)
-            rnd += 1
+        # round loops run through F.fold (ONE lax.scan trace per loop on the
+        # jnp adapter — graph-size discipline; a plain Python loop on the
+        # int adapters).  Each full round re-witnesses the state, so the
+        # body is uniform: compare to wires, then transform the wires.
+        fold = F.fold
+
+        def full_round_body(state, x):
+            ws, rcs = x
+            ys = tuple(F.sub(state[i], ws[i]) for i in range(12))
+            st = [F.add(ws[i], rcs[i]) for i in range(12)]
+            st = mds([sbox(s) for s in st])
+            return st, ys
+
+        def partial_round_body(state, x):
+            w, rcs = x
+            st = [F.add(state[i], rcs[i]) for i in range(12)]
+            y = F.sub(st[0], w)
+            st[0] = sbox(w)
+            return mds(st), (y,)
+
+        def rc_f(rnd):
+            return tuple(F.from_base(rc[rnd * 12 + i]) for i in range(12))
+
+        # round 0 reads the swapped inputs directly (no witness compare)
+        state = constant_layer(state, 0)
+        state = mds([sbox(s) for s in state])
+
+        xs = [(tuple(wires[self.wire_full_first(r, i)] for i in range(12)),
+               rc_f(r)) for r in range(1, 4)]
+        state, ys = fold(full_round_body, state, xs)
+        out.extend(c for y in ys for c in y)
+
+        xs = [(wires[self.wire_partial(r)], rc_f(4 + r)) for r in range(22)]
+        state, ys = fold(partial_round_body, state, xs)
+        out.extend(c for y in ys for c in y)
+
+        xs = [(tuple(wires[self.wire_full_second(r, i)] for i in range(12)),
+               rc_f(26 + r)) for r in range(4)]
+        state, ys = fold(full_round_body, state, xs)
+        out.extend(c for y in ys for c in y)
+
         for i in range(12):
             out.append(F.sub(state[i], wires[self.wire_output(i)]))
         return out
@@ -569,6 +583,462 @@ class RandomAccessGate(Gate):
                        for i in range(len(lst) // 2)]
             out.append(F.sub(lst[0], wires[self.wire_claimed(c)]))
         return out
+
+
+def _alg_from_base_wire(F, w):
+    """Embed a base-field wire value as the algebra element (w, 0)."""
+    return (w, F.zero())
+
+
+class LookupGate(Gate):
+    """Lookup slots: `num_slots` routed (input, output) wire pairs that must
+    appear (as pairs) in lookup table `lut_index` — plonky2 gates/lookup.rs
+    in role and wire layout.  The gate itself carries NO constraints: the
+    logUp lookup-argument terms (vanishing.py `lookup_terms`, gated by the
+    preprocessed boolean lookup-selector columns) bind its wires.  Witness
+    generation resolves each output from the table (plonky2's
+    LookupGenerator)."""
+
+    def __init__(self, num_slots, lut_index, table):
+        self.num_slots = num_slots
+        self.lut_index = lut_index
+        self.table = tuple(table)
+        self.num_wires = 2 * num_slots
+
+    def id(self):
+        return (f"LookupGate(num_slots={self.num_slots},"
+                f"lut={self.lut_index})")
+
+    def degree(self):
+        return 0                       # no gate-stream constraints
+
+    @staticmethod
+    def wire_inp(s):
+        return 2 * s
+
+    @staticmethod
+    def wire_out(s):
+        return 2 * s + 1
+
+    def fill(self, row, get_val, set_val):
+        from ..field import P
+
+        by_inp = {}
+        for inp, out in self.table:
+            by_inp.setdefault(inp % P, out % P)
+        for s in range(self.num_slots):
+            v = get_val((row, self.wire_inp(s)))
+            assert v in by_inp, \
+                f"lookup input {v} not in table {self.lut_index} (row {row})"
+            set_val((row, self.wire_out(s)), by_inp[v])
+
+
+class LookupTableGate(Gate):
+    """One row of lookup table `lut_index`: `num_slots` (input, output)
+    entries as per-row gate CONSTANTS (columns 2s, 2s+1 — preprocessed, so
+    the table contents are circuit-fixed) plus `num_slots` prover-set
+    multiplicity wires (columns s) — plonky2 gates/lookup_table.rs in role.
+    Padding slots repeat the last table entry with multiplicity 0.  Like
+    LookupGate, all constraints live in the logUp terms."""
+
+    def __init__(self, num_slots, lut_index):
+        self.num_slots = num_slots
+        self.lut_index = lut_index
+        self.num_wires = num_slots
+        self.num_constants = 2 * num_slots
+
+    def id(self):
+        return (f"LookupTableGate(num_slots={self.num_slots},"
+                f"lut={self.lut_index})")
+
+    def degree(self):
+        return 0
+
+    @staticmethod
+    def wire_mult(s):
+        return s
+
+
+class ReducingGate(Gate):
+    """One Horner step batch over BASE-field coefficients (plonky2
+    gates/reducing.rs): acc_{i} = acc_{i-1} * alpha + coeff_i, where alpha
+    and the accumulators are extension-algebra elements and the coeffs are
+    single base wires.  Completes the recursion gate set the reference's
+    roadmap targets (/root/reference/README.md:9-12; the gate mix of
+    plonky2's recursive verifier circuit,
+    /root/reference/verifier/src/test_util/fibonacci_stark.rs:210-232).
+
+    Wires: output (0..2), alpha (2..4), old_acc (4..6),
+    coeffs (6..6+num_coeffs, routed base wires), intermediate accumulators
+    (unrouted, 2 wires each for the first num_coeffs-1 steps)."""
+
+    def __init__(self, num_coeffs):
+        assert num_coeffs >= 1
+        self.num_coeffs = num_coeffs
+        self.num_wires = 6 + num_coeffs + 2 * (num_coeffs - 1)
+        self.num_constants = 0
+
+    def id(self):
+        return f"ReducingGate(num_coeffs={self.num_coeffs})"
+
+    def degree(self):
+        return 2
+
+    def num_constraints(self):
+        return 2 * self.num_coeffs
+
+    @staticmethod
+    def wires_output():
+        return (0, 1)
+
+    @staticmethod
+    def wires_alpha():
+        return (2, 3)
+
+    @staticmethod
+    def wires_old_acc():
+        return (4, 5)
+
+    def wire_coeff(self, i):
+        return 6 + i
+
+    def wires_acc(self, i):
+        assert i < self.num_coeffs - 1
+        s = 6 + self.num_coeffs + 2 * i
+        return (s, s + 1)
+
+    def _acc_pairs(self, wires):
+        """The chained accumulator targets: intermediates then the output."""
+        return ([tuple(wires[w] for w in self.wires_acc(i))
+                 for i in range(self.num_coeffs - 1)]
+                + [tuple(wires[w] for w in self.wires_output())])
+
+    def eval(self, F, constants, wires, public_inputs_hash):
+        alpha = tuple(wires[w] for w in self.wires_alpha())
+        acc = tuple(wires[w] for w in self.wires_old_acc())
+        out = []
+        for i, nxt in enumerate(self._acc_pairs(wires)):
+            coeff = _alg_from_base_wire(F, wires[self.wire_coeff(i)])
+            computed = _alg_add(F, _alg_mul(F, acc, alpha), coeff)
+            d = _alg_sub(F, computed, nxt)
+            out.extend([d[0], d[1]])
+            acc = nxt
+        return out
+
+    def fill(self, row, get_val, set_val):
+        from .. import field as gl
+        alpha = tuple(get_val((row, w)) for w in self.wires_alpha())
+        acc = tuple(get_val((row, w)) for w in self.wires_old_acc())
+        for i in range(self.num_coeffs):
+            coeff = get_val((row, self.wire_coeff(i)))
+            acc = gl.ext_add(gl.ext_mul(acc, alpha), (coeff, 0))
+            ws = (self.wires_acc(i) if i < self.num_coeffs - 1
+                  else self.wires_output())
+            set_val((row, ws[0]), acc[0])
+            set_val((row, ws[1]), acc[1])
+
+
+class ReducingExtensionGate(Gate):
+    """ReducingGate over EXTENSION coefficients (plonky2
+    gates/reducing_extension.rs): acc_i = acc_{i-1} * alpha + coeff_i with
+    each coeff spread over 2 routed wires.
+
+    Wires: output (0..2), alpha (2..4), old_acc (4..6),
+    coeff_i (6+2i..8+2i, routed), intermediate accumulators (unrouted)."""
+
+    def __init__(self, num_coeffs):
+        assert num_coeffs >= 1
+        self.num_coeffs = num_coeffs
+        self.num_wires = 6 + 2 * num_coeffs + 2 * (num_coeffs - 1)
+        self.num_constants = 0
+
+    def id(self):
+        return f"ReducingExtensionGate(num_coeffs={self.num_coeffs})"
+
+    def degree(self):
+        return 2
+
+    def num_constraints(self):
+        return 2 * self.num_coeffs
+
+    wires_output = staticmethod(ReducingGate.wires_output)
+    wires_alpha = staticmethod(ReducingGate.wires_alpha)
+    wires_old_acc = staticmethod(ReducingGate.wires_old_acc)
+
+    def wires_coeff(self, i):
+        return (6 + 2 * i, 7 + 2 * i)
+
+    def wires_acc(self, i):
+        assert i < self.num_coeffs - 1
+        s = 6 + 2 * self.num_coeffs + 2 * i
+        return (s, s + 1)
+
+    def _acc_pairs(self, wires):
+        return ([tuple(wires[w] for w in self.wires_acc(i))
+                 for i in range(self.num_coeffs - 1)]
+                + [tuple(wires[w] for w in self.wires_output())])
+
+    def eval(self, F, constants, wires, public_inputs_hash):
+        alpha = tuple(wires[w] for w in self.wires_alpha())
+        acc = tuple(wires[w] for w in self.wires_old_acc())
+        out = []
+        for i, nxt in enumerate(self._acc_pairs(wires)):
+            coeff = tuple(wires[w] for w in self.wires_coeff(i))
+            computed = _alg_add(F, _alg_mul(F, acc, alpha), coeff)
+            d = _alg_sub(F, computed, nxt)
+            out.extend([d[0], d[1]])
+            acc = nxt
+        return out
+
+    def fill(self, row, get_val, set_val):
+        from .. import field as gl
+        alpha = tuple(get_val((row, w)) for w in self.wires_alpha())
+        acc = tuple(get_val((row, w)) for w in self.wires_old_acc())
+        for i in range(self.num_coeffs):
+            coeff = tuple(get_val((row, w)) for w in self.wires_coeff(i))
+            acc = gl.ext_add(gl.ext_mul(acc, alpha), coeff)
+            ws = (self.wires_acc(i) if i < self.num_coeffs - 1
+                  else self.wires_output())
+            set_val((row, ws[0]), acc[0])
+            set_val((row, ws[1]), acc[1])
+
+
+class PoseidonMdsGate(Gate):
+    """The Poseidon 12x12 MDS matrix applied to a state of 12 EXTENSION
+    elements (plonky2 gates/poseidon_mds.rs): out_r = sum_i circ[i] *
+    in[(i+r)%12] + diag[r] * in[r].  All 48 wires routed.  Linear in the
+    wires; degree declared 2 for plonky2 selector-grouping parity."""
+
+    num_wires = 48
+    num_constants = 0
+
+    def degree(self):
+        return 2
+
+    def num_constraints(self):
+        return 24
+
+    @staticmethod
+    def wires_input(i):
+        return (2 * i, 2 * i + 1)
+
+    @staticmethod
+    def wires_output(i):
+        return (24 + 2 * i, 25 + 2 * i)
+
+    @staticmethod
+    def _mds_tables():
+        from ...constants.poseidon_goldilocks import (MDS_MATRIX_CIRC,
+                                                      MDS_MATRIX_DIAG)
+        return MDS_MATRIX_CIRC, MDS_MATRIX_DIAG
+
+    def eval(self, F, constants, wires, public_inputs_hash):
+        circ, diag = self._mds_tables()
+        ins = [tuple(wires[w] for w in self.wires_input(i)) for i in range(12)]
+        out = []
+        for r in range(12):
+            acc0 = _mul_const(F, circ[0], ins[r % 12][0])
+            acc1 = _mul_const(F, circ[0], ins[r % 12][1])
+            for i in range(1, 12):
+                s = ins[(i + r) % 12]
+                acc0 = F.add(acc0, _mul_const(F, circ[i], s[0]))
+                acc1 = F.add(acc1, _mul_const(F, circ[i], s[1]))
+            acc0 = F.add(acc0, _mul_const(F, diag[r], ins[r][0]))
+            acc1 = F.add(acc1, _mul_const(F, diag[r], ins[r][1]))
+            o = tuple(wires[w] for w in self.wires_output(r))
+            out.extend([F.sub(acc0, o[0]), F.sub(acc1, o[1])])
+        return out
+
+    def fill(self, row, get_val, set_val):
+        from ..field import P
+        circ, diag = self._mds_tables()
+        ins = [tuple(get_val((row, w)) for w in self.wires_input(i))
+               for i in range(12)]
+        for r in range(12):
+            a0 = sum(circ[i] * ins[(i + r) % 12][0] for i in range(12))
+            a1 = sum(circ[i] * ins[(i + r) % 12][1] for i in range(12))
+            a0 = (a0 + diag[r] * ins[r][0]) % P
+            a1 = (a1 + diag[r] * ins[r][1]) % P
+            ws = self.wires_output(r)
+            set_val((row, ws[0]), a0)
+            set_val((row, ws[1]), a1)
+
+
+class CosetInterpolationGate(Gate):
+    """Interpolate values on the coset shift*H (H the size-2^subgroup_bits
+    two-adic subgroup) and evaluate at an extension point (plonky2
+    gates/coset_interpolation.rs) — the gate plonky2's recursive FRI
+    verifier uses for the arity fold.
+
+    The interpolated evaluation is the division-free barycentric form
+        L(x) = sum_i w_i * v_i * prod_{j != i} (x - x_j),
+    with barycentric weights w_i = g^i / n for the subgroup domain, built
+    incrementally: eval' = (x - x_i) * eval + w_i * v_i * prod,
+    prod' = (x - x_i) * prod.  The coset shift is handled by substitution:
+    a witnessed shifted point sx with sx * shift == x is interpolated
+    against the UNSHIFTED domain.  The running (eval, prod) pair is
+    re-witnessed every `degree - 1` points (after an initial chunk of
+    `degree` points) to bound the constraint degree.
+
+    Wires: shift (0, routed base), values (1 + 2i, routed ext), evaluation
+    point (routed ext), evaluation value (routed ext), then unrouted
+    intermediates: num_intermediates eval pairs, num_intermediates prod
+    pairs, and the shifted evaluation point."""
+
+    def __init__(self, subgroup_bits, max_degree=6):
+        assert max_degree >= 2
+        self.subgroup_bits = subgroup_bits
+        self.num_points = 1 << subgroup_bits
+        self.max_degree = min(max_degree, self.num_points)
+        self.num_intermediates = max(
+            0, (self.num_points - 2) // (self.max_degree - 1))
+        self._start_intermediates = 1 + 2 * (self.num_points + 2)
+        self.num_wires = (self._start_intermediates
+                          + 4 * self.num_intermediates + 2)
+        self.num_constants = 0
+
+    def id(self):
+        return (f"CosetInterpolationGate(subgroup_bits={self.subgroup_bits},"
+                f" degree={self.max_degree})")
+
+    def degree(self):
+        return self.max_degree
+
+    def num_constraints(self):
+        return 2 + 2 * (2 * self.num_intermediates + 1)
+
+    wire_shift = 0
+
+    def wires_value(self, i):
+        return (1 + 2 * i, 2 + 2 * i)
+
+    def wires_evaluation_point(self):
+        s = 1 + 2 * self.num_points
+        return (s, s + 1)
+
+    def wires_evaluation_value(self):
+        s = 3 + 2 * self.num_points
+        return (s, s + 1)
+
+    @property
+    def num_routed(self):
+        return self._start_intermediates
+
+    def wires_intermediate_eval(self, i):
+        s = self._start_intermediates + 2 * i
+        return (s, s + 1)
+
+    def wires_intermediate_prod(self, i):
+        s = self._start_intermediates + 2 * (self.num_intermediates + i)
+        return (s, s + 1)
+
+    def wires_shifted_evaluation_point(self):
+        s = self._start_intermediates + 4 * self.num_intermediates
+        return (s, s + 1)
+
+    def _domain_and_weights(self):
+        from .. import field as gl
+        n = self.num_points
+        g = gl.primitive_root_of_unity(self.subgroup_bits)
+        domain = [pow(g, i, gl.P) for i in range(n)]
+        n_inv = gl.inv(n)
+        weights = [x * n_inv % gl.P for x in domain]   # w_i = g^i / n
+        return domain, weights
+
+    def _chunks(self):
+        """[(start, end)] point ranges: `degree` points, then `degree - 1`."""
+        d = self.max_degree
+        out = [(0, min(d, self.num_points))]
+        for i in range(self.num_intermediates):
+            start = 1 + (d - 1) * (i + 1)
+            out.append((start, min(start + d - 1, self.num_points)))
+        return out
+
+    def eval(self, F, constants, wires, public_inputs_hash):
+        domain, weights = self._domain_and_weights()
+        shift = wires[self.wire_shift]
+        x = tuple(wires[w] for w in self.wires_evaluation_point())
+        sx = tuple(wires[w] for w in self.wires_shifted_evaluation_point())
+        out = []
+        d = _alg_sub(F, _alg_scalar_mul(F, shift, sx), x)
+        out.extend([d[0], d[1]])
+
+        values = [tuple(wires[w] for w in self.wires_value(i))
+                  for i in range(self.num_points)]
+
+        def step(carry, x):
+            ev, pr = carry
+            dom, wt, val = x
+            x_m_xi = (F.sub(sx[0], dom), sx[1])
+            wv = _alg_scalar_mul(F, wt, val)
+            ev_next = _alg_add(F, _alg_mul(F, x_m_xi, ev),
+                               _alg_mul(F, wv, pr))
+            pr_next = _alg_mul(F, x_m_xi, pr)
+            return (ev_next, pr_next), ()
+
+        fold = getattr(F, "fold", None)
+
+        def partial(lo, hi, ev, pr):
+            xs = [(F.from_base(domain[i]), F.from_base(weights[i]), values[i])
+                  for i in range(lo, hi)]
+            if fold is not None:   # scanned on the jnp adapter
+                (ev, pr), _ = fold(step, (ev, pr), xs)
+            else:
+                for x in xs:
+                    (ev, pr), _ = step((ev, pr), x)
+            return ev, pr
+
+        chunks = self._chunks()
+        ev = (F.zero(), F.zero())
+        pr = (F.one(), F.zero())
+        ev, pr = partial(*chunks[0], ev, pr)
+        for i in range(self.num_intermediates):
+            w_ev = tuple(wires[w] for w in self.wires_intermediate_eval(i))
+            w_pr = tuple(wires[w] for w in self.wires_intermediate_prod(i))
+            de = _alg_sub(F, w_ev, ev)
+            dp = _alg_sub(F, w_pr, pr)
+            out.extend([de[0], de[1], dp[0], dp[1]])
+            ev, pr = partial(*chunks[i + 1], w_ev, w_pr)
+        val = tuple(wires[w] for w in self.wires_evaluation_value())
+        dv = _alg_sub(F, val, ev)
+        out.extend([dv[0], dv[1]])
+        return out
+
+    def fill(self, row, get_val, set_val):
+        from .. import field as gl
+        domain, weights = self._domain_and_weights()
+        shift = get_val((row, self.wire_shift))
+        x = tuple(get_val((row, w)) for w in self.wires_evaluation_point())
+        sx = gl.ext_scalar_mul(x, gl.inv(shift))
+        ws = self.wires_shifted_evaluation_point()
+        set_val((row, ws[0]), sx[0])
+        set_val((row, ws[1]), sx[1])
+        values = [tuple(get_val((row, w)) for w in self.wires_value(i))
+                  for i in range(self.num_points)]
+
+        def partial(lo, hi, ev, pr):
+            for i in range(lo, hi):
+                x_m_xi = gl.ext_sub(sx, (domain[i], 0))
+                term = gl.ext_scalar_mul(values[i], weights[i])
+                ev_next = gl.ext_add(gl.ext_mul(x_m_xi, ev),
+                                     gl.ext_mul(term, pr))
+                pr = gl.ext_mul(x_m_xi, pr)
+                ev = ev_next
+            return ev, pr
+
+        chunks = self._chunks()
+        ev, pr = partial(*chunks[0], gl.EXT_ZERO, gl.EXT_ONE)
+        for i in range(self.num_intermediates):
+            we = self.wires_intermediate_eval(i)
+            wp = self.wires_intermediate_prod(i)
+            set_val((row, we[0]), ev[0])
+            set_val((row, we[1]), ev[1])
+            set_val((row, wp[0]), pr[0])
+            set_val((row, wp[1]), pr[1])
+            ev, pr = partial(*chunks[i + 1], ev, pr)
+        wv = self.wires_evaluation_value()
+        set_val((row, wv[0]), ev[0])
+        set_val((row, wv[1]), ev[1])
 
 
 # ----------------------------------------------------------------------------

@@ -10,22 +10,33 @@ from .. import field as gl
 
 @dataclass
 class PlonkOpeningSet:
-    """plonky2 OpeningSet: evaluations at zeta (and zeta*g for the Zs)."""
-    constants: List[tuple]        # selectors ++ gate constants
+    """plonky2 OpeningSet: evaluations at zeta (and zeta*g for the Zs).
+    lookup_zs/lookup_zs_next are the logUp running-sum openings (empty for
+    circuits without lookup tables, keeping the legacy layout byte-stable)."""
+    constants: List[tuple]        # selectors ++ gate constants ++ lookup sels
     plonk_sigmas: List[tuple]
     wires: List[tuple]
     plonk_zs: List[tuple]
     plonk_zs_next: List[tuple]
     partial_products: List[tuple]
     quotient_polys: List[tuple]
+    lookup_zs: List[tuple] = None
+    lookup_zs_next: List[tuple] = None
+
+    def __post_init__(self):
+        if self.lookup_zs is None:
+            self.lookup_zs = []
+        if self.lookup_zs_next is None:
+            self.lookup_zs_next = []
 
     def to_fri_openings(self):
         """zeta batch in oracle order, then the zeta*g batch (plonky2
-        OpeningSet::to_fri_openings)."""
+        OpeningSet::to_fri_openings: lookup_zs after quotient_polys in the
+        zeta batch; lookup_zs_next after plonk_zs_next)."""
         return [
             (self.constants + self.plonk_sigmas + self.wires + self.plonk_zs
-             + self.partial_products + self.quotient_polys),
-            self.plonk_zs_next,
+             + self.partial_products + self.quotient_polys + self.lookup_zs),
+            self.plonk_zs_next + self.lookup_zs_next,
         ]
 
 
@@ -56,7 +67,8 @@ def plonk_proof_to_json(pwp: PlonkProofWithPublicInputs) -> str:
         "openings": {
             k: [_ext_to_json(e) for e in getattr(o, k)]
             for k in ("constants", "plonk_sigmas", "wires", "plonk_zs",
-                      "plonk_zs_next", "partial_products", "quotient_polys")
+                      "plonk_zs_next", "partial_products", "quotient_polys",
+                      "lookup_zs", "lookup_zs_next")
         },
         "opening_proof": proof_to_json_dict_fri(p.opening_proof),
         "public_inputs": [str(x) for x in pwp.public_inputs],

@@ -12,9 +12,9 @@ from ..field_ops import BaseOps
 from ..poseidon import hash_no_pad
 from ..prover import PolynomialBatch, fri_prove_openings
 from .gates import (ArithmeticExtensionGate, ArithmeticGate, BaseSumGate,
-                    ConstantGate, ExponentiationGate, MulExtensionGate,
-                    NoopGate, PoseidonGate, PublicInputGate,
-                    RandomAccessGate)
+                    ConstantGate, ExponentiationGate, LookupGate,
+                    LookupTableGate, MulExtensionGate, NoopGate, PoseidonGate,
+                    PublicInputGate, RandomAccessGate)
 from .proof import PlonkOpeningSet, PlonkProof, PlonkProofWithPublicInputs
 from .vanishing import eval_vanishing_terms
 
@@ -37,6 +37,24 @@ def fill_witness(builder, common, input_values):
 
     for t, v in input_values.items():
         set_val(t, v)
+
+    # lookup multiplicity state: per lut, (pair -> remaining count, assigned
+    # set).  Counts are computed lazily at the FIRST table row of each lut —
+    # by then every LookupGate row of that lut has been filled (tables are
+    # emitted at the end of the circuit).
+    lut_counts = {}
+
+    def _lookup_counts(li):
+        if li not in lut_counts:
+            counts = {}
+            for lrow in builder.lookup_rows.get(li, []):
+                lgate = builder.rows[lrow][0]
+                for s in range(lgate.num_slots):
+                    pair = (get_val((lrow, lgate.wire_inp(s))),
+                            get_val((lrow, lgate.wire_out(s))))
+                    counts[pair] = counts.get(pair, 0) + 1
+            lut_counts[li] = [counts, set()]
+        return lut_counts[li]
 
     for row, (gate, consts) in enumerate(builder.rows):
         if isinstance(gate, ConstantGate):
@@ -93,7 +111,20 @@ def fill_witness(builder, common, input_values):
                     set_val((row, gate.wire_bit(c, j)), (idx >> j) & 1)
                 set_val((row, gate.wire_claimed(c)),
                         get_val((row, gate.wire_item(c, idx))))
-        elif isinstance(gate, PoseidonGate):
+        elif isinstance(gate, LookupTableGate):
+            counts, assigned = _lookup_counts(gate.lut_index)
+            for s in range(gate.num_slots):
+                pair = (consts[2 * s] % gl.P, consts[2 * s + 1] % gl.P)
+                if pair in assigned:
+                    m = 0                      # duplicate/padding entry
+                else:
+                    assigned.add(pair)
+                    m = counts.get(pair, 0)
+                set_val((row, gate.wire_mult(s)), m)
+        elif hasattr(gate, "fill"):
+            # gates carrying their own witness generator (PoseidonGate,
+            # ReducingGate(Extension), PoseidonMdsGate, CosetInterpolationGate,
+            # LookupGate)
             gate.fill(row, get_val, set_val)
         elif isinstance(gate, PublicInputGate):
             pis = [get_val(t) for t in builder.public_inputs]
@@ -156,6 +187,47 @@ def _compute_zs_partial_products(common, prover_data, wires, betas, gammas):
     return zs, pps
 
 
+def _compute_lookup_zs(common, wires, deltas):
+    """logUp running-sum columns, one per (challenge, lut): S[0] = 0,
+    S[row+1] = S[row] + sum_s 1/(b - combo_s) on LookupGate rows
+             - sum_s m_s/(b - table_combo_s) on LookupTableGate rows,
+    telescoping to 0 over the cycle (multiset inclusion holds)."""
+    cfg = common.config
+    n = common.degree
+    p = gl.P
+    out = []
+    for i in range(cfg.num_challenges):
+        a, b = deltas[2 * i], deltas[2 * i + 1]
+        for li, lut in enumerate(common.luts):
+            dens, marks = [], []   # marks: (row, +1) looking / (row, -m) table
+            for row in range(n):
+                gi, consts = common.gate_instances[row]
+                gate = common.gates[gi]
+                if isinstance(gate, LookupGate) and gate.lut_index == li:
+                    for s in range(gate.num_slots):
+                        c = (wires[2 * s][row] + a * wires[2 * s + 1][row]) % p
+                        dens.append((b - c) % p)
+                        marks.append((row, 1))
+                elif (isinstance(gate, LookupTableGate)
+                      and gate.lut_index == li):
+                    for s in range(gate.num_slots):
+                        c = (consts[2 * s] + a * consts[2 * s + 1]) % p
+                        dens.append((b - c) % p)
+                        m = wires[gate.wire_mult(s)][row]
+                        marks.append((row, -m))
+            inv = gl.batch_inv(dens)
+            contrib = [0] * n
+            for (row, w), iv in zip(marks, inv):
+                contrib[row] = (contrib[row] + w * iv) % p
+            S = [0] * n
+            for row in range(n - 1):
+                S[row + 1] = (S[row] + contrib[row]) % p
+            assert (S[n - 1] + contrib[n - 1]) % p == 0, \
+                "lookup sums do not telescope: multiplicities are wrong"
+            out.append(S)
+    return out
+
+
 def _grid_lde(values_or_coeffs, grid_rate_bits, from_values=True):
     """Base-subgroup values (or coeffs) -> values on the 7 * <g_grid> coset."""
     coeffs = fft.ifft(values_or_coeffs) if from_values else list(values_or_coeffs)
@@ -185,9 +257,14 @@ def prove(common, prover_data, builder, input_values):
     betas = ch.get_n_challenges(cfg.num_challenges)
     gammas = ch.get_n_challenges(cfg.num_challenges)
 
+    deltas = (ch.get_n_challenges(2 * cfg.num_challenges)
+              if common.luts else [])
+
     zs, pps = _compute_zs_partial_products(common, prover_data, wires,
                                            betas, gammas)
-    zs_pp_batch = PolynomialBatch.from_values(zs + pps, rate_bits, cap_height)
+    lus = _compute_lookup_zs(common, wires, deltas) if common.luts else []
+    zs_pp_batch = PolynomialBatch.from_values(zs + pps + lus, rate_bits,
+                                              cap_height)
     ch.observe_cap(zs_pp_batch.merkle_tree.cap)
     alphas = ch.get_n_challenges(cfg.num_challenges)
 
@@ -208,6 +285,7 @@ def prove(common, prover_data, builder, input_values):
                   for p in wires_batch.polynomials]
     zs_grid = [_grid_lde(z, grid_rate) for z in zs]
     pps_grid = [_grid_lde(p, grid_rate) for p in pps]
+    lus_grid = [_grid_lde(s, grid_rate) for s in lus]
 
     p = gl.P
     g_grid = gl.primitive_root_of_unity(common.degree_bits + grid_rate)
@@ -230,7 +308,10 @@ def prove(common, prover_data, builder, input_values):
             [z[i] for z in zs_grid], [z[i_next] for z in zs_grid],
             [pp[i] for pp in pps_grid],
             pi_hash, betas, gammas,
-            l0=z_h[i] * l0_den_inv[i] % p)
+            l0=z_h[i] * l0_den_inv[i] % p,
+            lookup_zs=[s[i] for s in lus_grid],
+            lookup_zs_next=[s[i_next] for s in lus_grid],
+            deltas=deltas)
         for a_i, alpha in enumerate(alphas):
             acc = 0
             for t in reversed(terms):
@@ -251,18 +332,26 @@ def prove(common, prover_data, builder, input_values):
     zeta = ch.get_extension_challenge()
     assert gl.ext_exp_power_of_2(zeta, common.degree_bits) != gl.EXT_ONE
 
+    zs_pp_at_zeta = zs_pp_batch.eval_at_ext(zeta)
+    zeta_next = gl.ext_mul(
+        gl.ext_from_base(gl.primitive_root_of_unity(common.degree_bits)),
+        zeta)
+    nc = cfg.num_challenges
+    npp_total = nc * common.num_partial_products
     openings = PlonkOpeningSet(
         constants=cs_batch.eval_at_ext(zeta)[:common.num_constants],
         plonk_sigmas=cs_batch.eval_at_ext(zeta)[common.num_constants:],
         wires=wires_batch.eval_at_ext(zeta),
-        plonk_zs=zs_pp_batch.eval_at_ext(zeta)[:cfg.num_challenges],
+        plonk_zs=zs_pp_at_zeta[:nc],
         plonk_zs_next=[
-            fft.eval_poly_ext(poly, gl.ext_mul(
-                gl.ext_from_base(gl.primitive_root_of_unity(common.degree_bits)),
-                zeta))
-            for poly in zs_pp_batch.polynomials[:cfg.num_challenges]],
-        partial_products=zs_pp_batch.eval_at_ext(zeta)[cfg.num_challenges:],
+            fft.eval_poly_ext(poly, zeta_next)
+            for poly in zs_pp_batch.polynomials[:nc]],
+        partial_products=zs_pp_at_zeta[nc:nc + npp_total],
         quotient_polys=quotient_batch.eval_at_ext(zeta),
+        lookup_zs=zs_pp_at_zeta[nc + npp_total:],
+        lookup_zs_next=[
+            fft.eval_poly_ext(poly, zeta_next)
+            for poly in zs_pp_batch.polynomials[nc + npp_total:]],
     )
     for batch in openings.to_fri_openings():
         ch.observe_extension_elements(batch)

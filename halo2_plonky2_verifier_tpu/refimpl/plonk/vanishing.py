@@ -7,22 +7,97 @@ plonk::vanishing_poly::eval_vanishing_poly:
 
     [ Z-init terms (all challenges) ]
  ++ [ partial-product terms (all challenges, chunk order) ]
+ ++ [ lookup terms (all challenges x luts: L_0 boundary + logUp transition) ]
  ++ [ filtered gate-constraint terms (padded to num_gate_constraints) ]
 
 folded per alpha as sum_i alpha^i * term_i (reduce_with_powers).
+
+Lookup argument (plonky2's lookup feature in role; logarithmic-derivative
+"logUp" form): per challenge pair (a, b) and lut, a running-sum polynomial S
+satisfies, row by row,
+
+    S(gx) - S(x) =   q_lookup(x) * sum_s 1/(b - (inp_s + a*out_s))
+                   - q_table(x)  * sum_s m_s/(b - (t_in_s + a*t_out_s))
+
+with q_* the preprocessed boolean lookup-selector columns, (inp, out) the
+LookupGate slot wires, (t_in, t_out) the LookupTableGate slot CONSTANTS and
+m_s its multiplicity wires.  Cleared of denominators, the per-row transition
+term emitted here is
+
+    q_lk * ((S' - S) * D_lk - N_lk) + q_tbl * ((S' - S) * D_tbl + N_tbl)
+        + (1 - q_lk - q_tbl) * (S' - S)
+
+(D = prod of (b - combo), N = sum of numerator products), degree
+2 + num_slots <= quotient degree factor.  Cyclic telescoping over the
+subgroup forces sum(looking) == sum(table-with-multiplicities) — logUp
+multiset inclusion — and the L_0 * S boundary term pins S(1) = 0.
 """
 
 from .gates import evaluate_gate_constraints
 
 
+def lookup_terms(F, common, constants, wires, lookup_zs, lookup_zs_next,
+                 deltas, l0):
+    """The lookup block of the vanishing stream (order: per challenge, per
+    lut: [L_0 * S, transition])."""
+    cfg = common.config
+    one = F.one()
+    terms = []
+    for i in range(cfg.num_challenges):
+        a = F.from_base(deltas[2 * i])
+        b = F.from_base(deltas[2 * i + 1])
+        for li, lut in enumerate(common.luts):
+            S = lookup_zs[i * len(common.luts) + li]
+            Sn = lookup_zs_next[i * len(common.luts) + li]
+            q_lk = constants[lut.sel_lk]
+            q_tbl = constants[lut.sel_tbl]
+            Lslots = lut.num_slots
+            gc = constants[common.num_selectors:]
+            c_lk = [F.add(wires[2 * s], F.mul(a, wires[2 * s + 1]))
+                    for s in range(Lslots)]
+            c_tbl = [F.add(gc[2 * s], F.mul(a, gc[2 * s + 1]))
+                     for s in range(Lslots)]
+            mults = [wires[s] for s in range(Lslots)]
+
+            def dn(combos, nums):
+                """D = prod (b - c_s); N = sum_s nums[s] * prod_{s'!=s}."""
+                fac = [F.sub(b, c) for c in combos]
+                D = one
+                for f in fac:
+                    D = F.mul(D, f)
+                N = F.zero()
+                for s in range(len(fac)):
+                    p = nums[s]
+                    for s2 in range(len(fac)):
+                        if s2 != s:
+                            p = F.mul(p, fac[s2])
+                    N = F.add(N, p)
+                return D, N
+
+            D_lk, N_lk = dn(c_lk, [one] * Lslots)
+            D_tbl, N_tbl = dn(c_tbl, mults)
+            dacc = F.sub(Sn, S)
+            t = F.add(
+                F.mul(q_lk, F.sub(F.mul(dacc, D_lk), N_lk)),
+                F.mul(q_tbl, F.add(F.mul(dacc, D_tbl), N_tbl)))
+            t = F.add(t, F.mul(F.sub(F.sub(one, q_lk), q_tbl), dacc))
+            terms.append(F.mul(l0, S))
+            terms.append(t)
+    return terms
+
+
 def eval_vanishing_terms(F, common, x, constants, sigmas, wires, zs, zs_next,
-                         partial_products, pi_hash, betas, gammas, l0):
+                         partial_products, pi_hash, betas, gammas, l0,
+                         lookup_zs=(), lookup_zs_next=(), deltas=()):
     """Returns the ordered list of vanishing terms at point `x`.
 
-    constants: num_constants values (selectors ++ gate constants)
+    constants: num_constants values (selectors ++ gate constants ++ lookup
+               selectors)
     sigmas:    num_routed_wires values
     zs/zs_next/partial_products: per plonky2 openings layout
     betas/gammas: base-field challenge ints; l0: L_0(x) in F.
+    lookup_zs/lookup_zs_next/deltas: logUp S openings and the (a, b)
+               challenge pairs (2 per challenge), required iff common.luts.
     """
     cfg = common.config
     r = cfg.num_routed_wires
@@ -55,8 +130,13 @@ def eval_vanishing_terms(F, common, x, constants, sigmas, wires, zs, zs_next,
             pp_terms.append(F.sub(F.mul(accs[t + 1], prod_g),
                                   F.mul(accs[t], prod_f)))
 
+    lu_terms = []
+    if common.luts:
+        lu_terms = lookup_terms(F, common, constants, wires, lookup_zs,
+                                lookup_zs_next, deltas, l0)
+
     gate_terms = evaluate_gate_constraints(
         F, common.gates, common.selector_groups, None,
         constants, wires, pi_hash,
         common.num_gate_constraints, common.num_selectors)
-    return z1_terms + pp_terms + gate_terms
+    return z1_terms + pp_terms + lu_terms + gate_terms

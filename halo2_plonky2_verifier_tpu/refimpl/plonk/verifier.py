@@ -24,6 +24,8 @@ def get_plonk_challenges(proof, pi_hash, common, verifier_data):
     ch.observe_cap(proof.wires_cap)
     betas = ch.get_n_challenges(cfg.num_challenges)
     gammas = ch.get_n_challenges(cfg.num_challenges)
+    deltas = (ch.get_n_challenges(2 * cfg.num_challenges)
+              if common.luts else [])
     ch.observe_cap(proof.plonk_zs_partial_products_cap)
     alphas = ch.get_n_challenges(cfg.num_challenges)
     ch.observe_cap(proof.quotient_polys_cap)
@@ -46,6 +48,7 @@ def get_plonk_challenges(proof, pi_hash, common, verifier_data):
     return {
         "plonk_betas": betas,
         "plonk_gammas": gammas,
+        "plonk_deltas": deltas,
         "plonk_alphas": alphas,
         "plonk_zeta": zeta,
         "fri_alpha": fri_alpha,
@@ -72,7 +75,9 @@ def eval_vanishing_at_zeta(common, openings, pi_hash, challenges):
         openings.constants, openings.plonk_sigmas, openings.wires,
         openings.plonk_zs, openings.plonk_zs_next, openings.partial_products,
         pi_hash_ext, challenges["plonk_betas"], challenges["plonk_gammas"],
-        l0)
+        l0, lookup_zs=openings.lookup_zs,
+        lookup_zs_next=openings.lookup_zs_next,
+        deltas=challenges["plonk_deltas"])
     vanishing = [gl.reduce_with_powers_ext(terms, gl.ext_from_base(a))
                  for a in challenges["plonk_alphas"]]
     return vanishing, z_h_zeta, zeta_pow_n
@@ -94,6 +99,9 @@ def verify(common, verifier_data, proof_with_pis):
     _check(len(o.quotient_polys)
            == cfg.num_challenges * common.quotient_degree_factor,
            "bad quotient count")
+    _check(len(o.lookup_zs) == common.num_lookup_polys, "bad lookup_zs count")
+    _check(len(o.lookup_zs_next) == common.num_lookup_polys,
+           "bad lookup_zs_next count")
 
     pi_hash = hash_no_pad(list(proof_with_pis.public_inputs))
     challenges = get_plonk_challenges(proof, pi_hash, common, verifier_data)

@@ -108,6 +108,28 @@ class ExtOpsJax:
         MDS constant-multiplies out of the unrolled-modmul graph budget)."""
         return (gl.mul_const_small(a[0], c), gl.mul_const_small(a[1], c))
 
+    def fold(self, body, carry, xs):
+        """Graph-size discipline for F-generic gate evals: run the repeated
+        per-step structure as ONE lax.scan trace instead of unrolling (the
+        CosetInterpolationGate fold alone is ~275k jaxpr eqns unrolled).
+        body(carry, x) -> (carry, y); xs is a list of per-step pytrees of
+        F-values; returns (carry, [y_0, ..., y_{n-1}]) like
+        refimpl.field_ops.generic_fold."""
+        import jax
+        import jax.numpy as jnp
+
+        from .utils import profiling
+
+        if not xs:
+            return carry, []
+        stacked = jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack(leaves), *xs)
+        with profiling.multiplier(len(xs)):
+            carry, ys = jax.lax.scan(body, carry, stacked)
+        ys_list = [jax.tree_util.tree_map(lambda a, i=i: a[i], ys)
+                   for i in range(len(xs))]
+        return carry, ys_list
+
 
 def _ext_rows(pair):
     """(B, n, 2) gl pair -> list of n ext (B,) values."""

@@ -78,7 +78,7 @@ def main():
         worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
         return
     num_procs = 2
-    port = 12765
+    port = int(os.environ.get("MULTIHOST_PORT", "12765"))
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "worker",

@@ -9,7 +9,12 @@ Protocol: one JSON object per stdin line, one JSON response per stdout line
      "config": {"num_challenges": 2, "rate_bits": 1, "cap_height": 4,
                 "proof_of_work_bits": 16, "num_query_rounds": 84},   # optional
      "hasher": "poseidon_goldilocks",                                 # optional
+     "format": "native" | "plonky2",                                  # optional
      "proofs": ["<proof json>", ...]}
+
+"format": "plonky2" accepts proofs in plonky2's own serde-JSON layout
+(serde_json of starky StarkProofWithPublicInputs — see interop.py for the
+exact schema), so proofs from a Rust plonky2 toolchain verify directly.
 
 Response: {"id": "req-1", "verdicts": [true, ...], "batch": N,
            "compile_s": ..., "verify_ms": ...}
@@ -22,6 +27,14 @@ Design for production serving:
     compiled programs per geometry to log2(max_batch);
   - malformed requests / wrong-shape proofs return {"error": ...} without
     killing the service.
+
+Cold-start latency: the FIRST request for a new geometry pays the XLA/Mosaic
+compile (tens of seconds to minutes on a tunneled TPU backend; ~95 s for the
+flagship GL shape, ~8 min for BN254 — see STATUS.md).  For latency-sensitive
+deployments, warm each expected geometry at startup by sending one self-
+generated request per (family, num_rows, config, hasher, bucket) before
+taking traffic; with the persistent compilation cache enabled (default), the
+warmup survives process restarts, so steady-state replicas start hot.
 
 Usage:  python tools/serve.py < requests.jsonl > responses.jsonl
 Demo:   python tools/serve.py --self-test   (generates, serves, tampers)
@@ -92,8 +105,16 @@ class VerifierService:
         stark = self._stark(req["stark"])
         config = self._config(req.get("config"))
         hasher = req.get("hasher", "poseidon_goldilocks")
-        proofs = [proof_from_json(p) if isinstance(p, str) else
-                  proof_from_json(json.dumps(p)) for p in req["proofs"]]
+        fmt = req.get("format", "native")
+        if fmt == "plonky2":
+            from halo2_plonky2_verifier_tpu.interop import (
+                stark_proof_from_plonky2_json as load_json)
+        elif fmt == "native":
+            load_json = proof_from_json
+        else:
+            raise ValueError(f"unknown proof format: {fmt}")
+        proofs = [load_json(p) if isinstance(p, str) else
+                  load_json(json.dumps(p)) for p in req["proofs"]]
         if not proofs:
             return {"id": req.get("id"), "verdicts": []}
         degree_bits = proofs[0].proof.recover_degree_bits(config)
@@ -169,7 +190,18 @@ def self_test():
     svc.run(io.StringIO('{"bad json\n' + json.dumps(req) + "\n"), out)
     lines = [json.loads(l) for l in out.getvalue().splitlines()]
     assert "error" in lines[0] and lines[1]["verdicts"] == [True, False, True]
-    print("serve self-test OK (cached verify: %.1f ms)" % resp2["verify_ms"])
+    # external-format ingestion: the same proofs in plonky2's serde layout
+    from halo2_plonky2_verifier_tpu.interop import stark_proof_to_plonky2_json
+    ext = stark_proof_to_plonky2_json(pwp)
+    bad_ext = json.loads(ext)
+    bad_ext["public_inputs"][2] = (bad_ext["public_inputs"][2] + 1) \
+        % ((1 << 64) - (1 << 32) + 1)
+    req_ext = dict(req, id="self-test-plonky2", format="plonky2",
+                   proofs=[ext, json.dumps(bad_ext), ext])
+    resp3 = svc.handle(req_ext)
+    assert resp3["verdicts"] == [True, False, True], resp3
+    print("serve self-test OK (cached verify: %.1f ms; plonky2-format: OK)"
+          % resp2["verify_ms"])
 
 
 if __name__ == "__main__":

@@ -13,6 +13,67 @@ Exact semantics the TPU transcript must reproduce bit-for-bit
 from .poseidon import NUM_HASH_OUT_ELTS, SPONGE_RATE, SPONGE_WIDTH, permute
 
 
+class BN254Challenger:
+    """ChallengerChip instantiated with the Poseidon-BN254 permutation chip —
+    the reference trait's other instantiation (challenger/mod.rs:19 is generic
+    over PermutationChip; permutation.rs:205-252 gives the BN254 absorb /
+    squeeze):
+      - observing a Goldilocks element clears the output buffer;
+      - absorb: chunks of RATE*3 = 9 GL, each triple packed into one Fr
+        OVERWRITING state slots 1..3 (partial chunks overwrite only the slots
+        they cover; missing GL inside a covered slot pack as zero), one
+        permutation per chunk, then the output buffer refills;
+      - squeeze: state[0..RATE) as 5 x 56-bit limbs each -> 15 GL, popped
+        LIFO (the last limb of slot 2 first)."""
+
+    RATE_GL = 9      # RATE Fr x 3 packed GL
+    OUT_GL = 15      # RATE Fr x 5 56-bit limbs
+
+    def __init__(self):
+        from . import poseidon_bn254 as pb
+
+        self._pb = pb
+        self.sponge_state = [0] * pb.WIDTH
+        self.input_buffer = []
+        self.output_buffer = []
+
+    def observe_element(self, x):
+        self.output_buffer.clear()
+        self.input_buffer.append(x)
+
+    def observe_elements(self, xs):
+        for x in xs:
+            self.observe_element(x)
+
+    def _absorb_buffered_inputs(self):
+        pb = self._pb
+        if not self.input_buffer:
+            return
+        for i in range(0, len(self.input_buffer), self.RATE_GL):
+            chunk = self.input_buffer[i:i + self.RATE_GL]
+            for j in range(0, len(chunk), 3):
+                self.sponge_state[j // 3 + 1] = pb.pack_goldilocks(
+                    chunk[j:j + 3])
+            self.sponge_state = pb.permute(self.sponge_state)
+        self.output_buffer = pb.squeeze_goldilocks(self.sponge_state)
+        self.input_buffer.clear()
+
+    def get_challenge(self):
+        self._absorb_buffered_inputs()
+        if not self.output_buffer:
+            self.sponge_state = self._pb.permute(self.sponge_state)
+            self.output_buffer = self._pb.squeeze_goldilocks(
+                self.sponge_state)
+        return self.output_buffer.pop()
+
+    def get_n_challenges(self, n):
+        return [self.get_challenge() for _ in range(n)]
+
+    def get_extension_challenge(self):
+        c = self.get_n_challenges(2)
+        return (c[0], c[1])
+
+
 class Challenger:
     def __init__(self):
         self.sponge_state = [0] * SPONGE_WIDTH

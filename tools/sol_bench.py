@@ -81,9 +81,8 @@ def measure_poseidon_sol(reps=3):
 
     rng = np.random.default_rng(1)
 
-    def probe(n_states, fn, perms_per_call):
-        s = rng.integers(0, gl.P, size=(12, n_states), dtype=np.uint64)
-        out = fn(*gl.from_u64(s))
+    def probe_fn(fn, planes, perms_per_call, reps):
+        out = fn(*planes)
         np.asarray(out[0])  # compile + warm
         # serially-dependent reps with ONE host fetch at the end: per-rep
         # fetches would bill the tunnel round-trip to the kernel
@@ -93,6 +92,10 @@ def measure_poseidon_sol(reps=3):
         np.asarray(out[0])
         dt = (time.time() - t0) / reps
         return perms_per_call / dt, dt
+
+    def probe(n_states, fn, perms_per_call):
+        s = rng.integers(0, gl.P, size=(12, n_states), dtype=np.uint64)
+        return probe_fn(fn, gl.from_u64(s), perms_per_call, reps)
 
     chain = 64
     n_chained = 1 << 18
@@ -112,7 +115,29 @@ def measure_poseidon_sol(reps=3):
         h, l, chain=4))
     r3, t3 = probe(n_mid, mid, n_mid * 4)
 
-    return max((r1, t1), (r2, t2), (r3, t3))
+    # the verifier's own hottest kernel, standalone: the fused whole-path
+    # Merkle kernel at a bench-like depth, all levels active.  The verifier
+    # cannot run its Merkle work faster than this kernel runs with zero glue,
+    # so including it makes the SOL an actual ceiling (round-3's probe set
+    # measured BELOW the fused scans and the roofline read 117%).
+    from halo2_plonky2_verifier_tpu.ops import merkle_pallas
+
+    d_max, n_mk = 8, 1 << 19
+    sib = rng.integers(0, gl.P, size=(d_max, 4, n_mk), dtype=np.uint64)
+    node = rng.integers(0, gl.P, size=(4, n_mk), dtype=np.uint64)
+    idx = np.zeros((n_mk,), dtype=np.uint32)
+    act = np.ones((d_max, n_mk), dtype=np.uint32)
+    sib_p = gl.from_u64(sib)
+    mk = jax.jit(lambda h, l: merkle_pallas.verify_paths_planes(
+        (h, l), sib_p, idx, act))
+    r4, t4 = probe_fn(mk, gl.from_u64(node), n_mk * d_max, reps)
+
+    if os.environ.get("SOL_VERBOSE"):
+        for name, r, t in (("chained", r1, t1), ("streamed", r2, t2),
+                           ("mid", r3, t3), ("merkle-path", r4, t4)):
+            print(f"  sol probe {name:12s}: {r/1e6:8.2f} M perm/s "
+                  f"({t*1e3:.1f} ms/rep)")
+    return max((r1, t1), (r2, t2), (r3, t3), (r4, t4))
 
 
 if __name__ == "__main__":

@@ -103,7 +103,7 @@ def test_plonk_plonky2_json_roundtrip():
                                  "opening_proof"}
     assert set(doc["proof"]["openings"]) == {
         "constants", "plonk_sigmas", "wires", "plonk_zs", "plonk_zs_next",
-        "partial_products", "quotient_polys"}
+        "partial_products", "quotient_polys", "lookup_zs", "lookup_zs_next"}
 
 
 def test_external_proof_enters_tpu_pipeline():

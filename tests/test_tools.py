@@ -11,8 +11,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _cpu_env(**extra):
+    # JAX_PLATFORMS=cpu alone is NOT enough: this image's sitecustomize
+    # clobbers it at interpreter start (CLAUDE.md).  The tools take explicit
+    # force-cpu routes: run_multihost_demo.py calls jax.config itself;
+    # serve.py honors SERVE_PLATFORM=cpu.
     env = {**os.environ,
            "JAX_PLATFORMS": "cpu",
+           "SERVE_PLATFORM": "cpu",
            "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
     env.update(extra)
     return env

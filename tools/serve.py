@@ -48,6 +48,15 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# SERVE_PLATFORM=cpu forces the CPU backend (jax.config — this image's
+# sitecustomize clobbers a JAX_PLATFORMS=cpu env var at interpreter start,
+# so the env route does NOT work; see CLAUDE.md).  Used by tests/test_tools
+# so CI never compiles over the TPU tunnel.
+if os.environ.get("SERVE_PLATFORM") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def _bucket(n):
     b = 1

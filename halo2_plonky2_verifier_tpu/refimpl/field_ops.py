@@ -21,6 +21,12 @@ class BaseOps:
 
     fold = staticmethod(generic_fold)
 
+    @classmethod
+    def mul_elems(cls, xs, ys):
+        """Elementwise [x*y for x, y in zip(xs, ys)] — the jnp adapter
+        overrides with ONE stacked multiply (stark.ExtOpsJax.mul_elems)."""
+        return [cls.mul(x, y) for x, y in zip(xs, ys)]
+
     @staticmethod
     def zero():
         return 0
@@ -54,6 +60,10 @@ class ExtOps:
     """GF(p^2) with (a0, a1) tuples."""
 
     fold = staticmethod(generic_fold)
+
+    @classmethod
+    def mul_elems(cls, xs, ys):
+        return [cls.mul(x, y) for x, y in zip(xs, ys)]
 
     @staticmethod
     def zero():

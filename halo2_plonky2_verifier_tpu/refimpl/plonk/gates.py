@@ -97,12 +97,15 @@ class ArithmeticGate(Gate):
 
     def eval(self, F, constants, wires, public_inputs_hash):
         c0, c1 = constants[0], constants[1]
-        out = []
-        for i in range(self.num_ops):
-            m0, m1, add, o = self.wires_ith_op(i)
-            computed = F.add(F.mul(c0, F.mul(wires[m0], wires[m1])),
-                             F.mul(c1, wires[add]))
-            out.append(F.sub(computed, wires[o]))
+        xs = [tuple(wires[w] for w in self.wires_ith_op(i))
+              for i in range(self.num_ops)]
+
+        def body(carry, op):
+            m0, m1, add, o = op
+            computed = F.add(F.mul(c0, F.mul(m0, m1)), F.mul(c1, add))
+            return carry, F.sub(computed, o)
+
+        _, out = F.fold(body, F.zero(), xs)   # one scan over the ops
         return out
 
 
@@ -148,17 +151,19 @@ class BaseSumGate(Gate):
 
     def eval(self, F, constants, wires, public_inputs_hash):
         b = F.from_base(self.base)
-        acc = F.zero()
-        for i in reversed(range(self.num_limbs)):
-            acc = F.add(F.mul(b, acc), wires[1 + i])
-        out = [F.sub(wires[0], acc)]
-        for i in range(self.num_limbs):
-            limb = wires[1 + i]
+        limbs = [wires[1 + i] for i in range(self.num_limbs)]
+
+        def body(acc, limb):
+            acc = F.add(F.mul(b, acc), limb)
             prod = limb
             for v in range(1, self.base):
                 prod = F.mul(prod, F.sub(limb, F.from_base(v)))
-            out.append(prod)
-        return out
+            return acc, prod
+
+        # one scan: the Horner recomposition (MSB-first) and each limb's
+        # range product (a 64-limb boolean split unrolled ~115k jaxpr eqns)
+        acc, prods = F.fold(body, F.zero(), list(reversed(limbs)))
+        return [F.sub(wires[0], acc)] + list(reversed(prods))
 
 
 class ExponentiationGate(Gate):
@@ -304,6 +309,14 @@ class PoseidonGate(Gate):
             x4 = F.mul(x2, x2)
             return F.mul(F.mul(x4, x2), x)
 
+        def sbox_all(xs):
+            """x^7 on every element via stacked multiplies (4 ops instead
+            of 48 on the jnp adapter)."""
+            x2 = F.mul_elems(xs, xs)
+            x4 = F.mul_elems(x2, x2)
+            x6 = F.mul_elems(x4, x2)
+            return F.mul_elems(x6, xs)
+
         def constant_layer(st, rnd):
             return [F.add(s, F.from_base(rc[rnd * 12 + i]))
                     for i, s in enumerate(st)]
@@ -339,7 +352,7 @@ class PoseidonGate(Gate):
             ws, rcs = x
             ys = tuple(F.sub(state[i], ws[i]) for i in range(12))
             st = [F.add(ws[i], rcs[i]) for i in range(12)]
-            st = mds([sbox(s) for s in st])
+            st = mds(sbox_all(st))
             return st, ys
 
         def partial_round_body(state, x):
@@ -354,7 +367,7 @@ class PoseidonGate(Gate):
 
         # round 0 reads the swapped inputs directly (no witness compare)
         state = constant_layer(state, 0)
-        state = mds([sbox(s) for s in state])
+        state = mds(sbox_all(state))
 
         xs = [(tuple(wires[self.wire_full_first(r, i)] for i in range(12)),
                rc_f(r)) for r in range(1, 4)]
@@ -473,19 +486,22 @@ class ArithmeticExtensionGate(Gate):
 
     def eval(self, F, constants, wires, public_inputs_hash):
         c0, c1 = constants[0], constants[1]
-        out = []
-        for i in range(self.num_ops):
-            w = self.wires_ith_op(i)
-            m0 = (wires[w[0]], wires[w[1]])
-            m1 = (wires[w[2]], wires[w[3]])
-            addend = (wires[w[4]], wires[w[5]])
-            o = (wires[w[6]], wires[w[7]])
+        xs = [tuple(wires[w] for w in self.wires_ith_op(i))
+              for i in range(self.num_ops)]
+
+        def body(carry, op):
+            m0 = (op[0], op[1])
+            m1 = (op[2], op[3])
+            addend = (op[4], op[5])
+            o = (op[6], op[7])
             computed = _alg_add(F,
                                 _alg_scalar_mul(F, c0, _alg_mul(F, m0, m1)),
                                 _alg_scalar_mul(F, c1, addend))
             d = _alg_sub(F, computed, o)
-            out.extend([d[0], d[1]])
-        return out
+            return carry, (d[0], d[1])
+
+        _, ds = F.fold(body, F.zero(), xs)    # one scan over the ops
+        return [x for d in ds for x in d]
 
 
 class MulExtensionGate(Gate):
@@ -513,16 +529,19 @@ class MulExtensionGate(Gate):
 
     def eval(self, F, constants, wires, public_inputs_hash):
         c0 = constants[0]
-        out = []
-        for i in range(self.num_ops):
-            w = self.wires_ith_op(i)
-            m0 = (wires[w[0]], wires[w[1]])
-            m1 = (wires[w[2]], wires[w[3]])
-            o = (wires[w[4]], wires[w[5]])
+        xs = [tuple(wires[w] for w in self.wires_ith_op(i))
+              for i in range(self.num_ops)]
+
+        def body(carry, op):
+            m0 = (op[0], op[1])
+            m1 = (op[2], op[3])
+            o = (op[4], op[5])
             computed = _alg_scalar_mul(F, c0, _alg_mul(F, m0, m1))
             d = _alg_sub(F, computed, o)
-            out.extend([d[0], d[1]])
-        return out
+            return carry, (d[0], d[1])
+
+        _, ds = F.fold(body, F.zero(), xs)    # one scan over the ops
+        return [x for d in ds for x in d]
 
 
 class RandomAccessGate(Gate):
@@ -835,19 +854,29 @@ class PoseidonMdsGate(Gate):
     def eval(self, F, constants, wires, public_inputs_hash):
         circ, diag = self._mds_tables()
         ins = [tuple(wires[w] for w in self.wires_input(i)) for i in range(12)]
-        out = []
+        # fold over output rows: the circulant constants are shared by every
+        # row (host-int mul_const_small inside the body), the rotation is
+        # pure reindexing in the stacked xs, and only diag[r] needs a traced
+        # per-row value (ONE scan instead of 312 unrolled const-multiplies)
+        xs = []
         for r in range(12):
-            acc0 = _mul_const(F, circ[0], ins[r % 12][0])
-            acc1 = _mul_const(F, circ[0], ins[r % 12][1])
-            for i in range(1, 12):
-                s = ins[(i + r) % 12]
-                acc0 = F.add(acc0, _mul_const(F, circ[i], s[0]))
-                acc1 = F.add(acc1, _mul_const(F, circ[i], s[1]))
-            acc0 = F.add(acc0, _mul_const(F, diag[r], ins[r][0]))
-            acc1 = F.add(acc1, _mul_const(F, diag[r], ins[r][1]))
+            rot = tuple(ins[(i + r) % 12] for i in range(12))
             o = tuple(wires[w] for w in self.wires_output(r))
-            out.extend([F.sub(acc0, o[0]), F.sub(acc1, o[1])])
-        return out
+            xs.append((rot, F.from_base(diag[r]), ins[r], o))
+
+        def body(carry, x):
+            rot, dg, inr, o = x
+            acc0 = _mul_const(F, circ[0], rot[0][0])
+            acc1 = _mul_const(F, circ[0], rot[0][1])
+            for i in range(1, 12):
+                acc0 = F.add(acc0, _mul_const(F, circ[i], rot[i][0]))
+                acc1 = F.add(acc1, _mul_const(F, circ[i], rot[i][1]))
+            acc0 = F.add(acc0, F.mul(dg, inr[0]))
+            acc1 = F.add(acc1, F.mul(dg, inr[1]))
+            return carry, (F.sub(acc0, o[0]), F.sub(acc1, o[1]))
+
+        _, ys = F.fold(body, F.zero(), xs)
+        return [c for y in ys for c in y]
 
     def fill(self, row, get_val, set_val):
         from ..field import P
@@ -1089,6 +1118,12 @@ def evaluate_gate_constraints(F, gates, selector_groups, gate_rows_by_index,
         gate_constants = constants[num_selectors:]
         cs = gate.eval(F, gate_constants, wires, public_inputs_hash)
         assert len(cs) <= num_gate_constraints
-        for j, c in enumerate(cs):
-            terms[j] = F.add(terms[j], F.mul(filt, c))
+        # filter-multiply all constraints at once where the adapter supports
+        # it (ONE stacked ext mul on the jnp adapter instead of len(cs)
+        # unrolled ~900-eqn multiplies)
+        mul_many = getattr(F, "mul_many", None)
+        filtered = (mul_many(filt, cs) if mul_many is not None
+                    else [F.mul(filt, c) for c in cs])
+        for j, c in enumerate(filtered):
+            terms[j] = F.add(terms[j], c)
     return terms

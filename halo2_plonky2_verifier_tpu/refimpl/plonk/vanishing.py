@@ -53,29 +53,30 @@ def lookup_terms(F, common, constants, wires, lookup_zs, lookup_zs_next,
             q_tbl = constants[lut.sel_tbl]
             Lslots = lut.num_slots
             gc = constants[common.num_selectors:]
-            c_lk = [F.add(wires[2 * s], F.mul(a, wires[2 * s + 1]))
-                    for s in range(Lslots)]
-            c_tbl = [F.add(gc[2 * s], F.mul(a, gc[2 * s + 1]))
-                     for s in range(Lslots)]
-            mults = [wires[s] for s in range(Lslots)]
 
-            def dn(combos, nums):
-                """D = prod (b - c_s); N = sum_s nums[s] * prod_{s'!=s}."""
-                fac = [F.sub(b, c) for c in combos]
-                D = one
-                for f in fac:
-                    D = F.mul(D, f)
-                N = F.zero()
-                for s in range(len(fac)):
-                    p = nums[s]
-                    for s2 in range(len(fac)):
-                        if s2 != s:
-                            p = F.mul(p, fac[s2])
-                    N = F.add(N, p)
-                return D, N
+            # ONE F.fold over the slots computes both sides' cleared logUp
+            # numerators/denominators (graph-size discipline: on the jnp
+            # adapter this is a single lax.scan — the unrolled form measured
+            # ~372k jaxpr eqns for a 2-lut circuit).  Recurrences:
+            #   D' = D * (b - c);  N' = N * (b - c) + num * D
+            # give D = prod fac and N = sum_s num_s * prod_{s'!=s} fac.
+            xs = [(wires[2 * s], wires[2 * s + 1],
+                   gc[2 * s], gc[2 * s + 1], wires[s])
+                  for s in range(Lslots)]
 
-            D_lk, N_lk = dn(c_lk, [one] * Lslots)
-            D_tbl, N_tbl = dn(c_tbl, mults)
+            def slot_body(carry, slot):
+                Dlk, Nlk, Dtb, Ntb = carry
+                w0, w1, t0, t1, m = slot
+                f_lk = F.sub(b, F.add(w0, F.mul(a, w1)))
+                f_tb = F.sub(b, F.add(t0, F.mul(a, t1)))
+                Nlk = F.add(F.mul(Nlk, f_lk), Dlk)           # num = 1
+                Dlk = F.mul(Dlk, f_lk)
+                Ntb = F.add(F.mul(Ntb, f_tb), F.mul(m, Dtb))
+                Dtb = F.mul(Dtb, f_tb)
+                return (Dlk, Nlk, Dtb, Ntb), F.zero()
+
+            (D_lk, N_lk, D_tbl, N_tbl), _ = F.fold(
+                slot_body, (one, F.zero(), one, F.zero()), xs)
             dacc = F.sub(Sn, S)
             t = F.add(
                 F.mul(q_lk, F.sub(F.mul(dacc, D_lk), N_lk)),
@@ -111,22 +112,26 @@ def eval_vanishing_terms(F, common, x, constants, sigmas, wires, zs, zs_next,
     for i in range(cfg.num_challenges):
         beta = F.from_base(betas[i])
         gamma = F.from_base(gammas[i])
-        # f_j = w_j + beta * k_j * x + gamma;  g_j = w_j + beta * sigma_j + gamma
-        f = [F.add(F.add(wires[j],
-                         F.mul(beta, F.mul(F.from_base(common.k_is[j]), x))),
-                   gamma) for j in range(r)]
-        g = [F.add(F.add(wires[j], F.mul(beta, sigmas[j])), gamma)
-             for j in range(r)]
         accs = ([zs[i]]
                 + partial_products[i * npp:(i + 1) * npp]
                 + [zs_next[i]])
         for t in range(npp + 1):
             lo, hi = t * q, min((t + 1) * q, r)
-            prod_f = one
-            prod_g = one
-            for j in range(lo, hi):
-                prod_f = F.mul(prod_f, f[j])
-                prod_g = F.mul(prod_g, g[j])
+            # f_j = w_j + beta * k_j * x + gamma; g_j = w_j + beta*sigma_j
+            # + gamma — folded as ONE scan per chunk on the jnp adapter
+            # (the unrolled per-wire products dominated the PLONK verifier
+            # graph at 135 routed wires)
+            xs = [(wires[j], sigmas[j], F.from_base(common.k_is[j]))
+                  for j in range(lo, hi)]
+
+            def fg_body(carry, wsk):
+                pf, pg = carry
+                w, s, k = wsk
+                f = F.add(F.add(w, F.mul(beta, F.mul(k, x))), gamma)
+                g = F.add(F.add(w, F.mul(beta, s)), gamma)
+                return (F.mul(pf, f), F.mul(pg, g)), F.zero()
+
+            (prod_f, prod_g), _ = F.fold(fg_body, (one, one), xs)
             pp_terms.append(F.sub(F.mul(accs[t + 1], prod_g),
                                   F.mul(accs[t], prod_f)))
 

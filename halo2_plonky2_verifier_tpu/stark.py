@@ -108,6 +108,44 @@ class ExtOpsJax:
         MDS constant-multiplies out of the unrolled-modmul graph budget)."""
         return (gl.mul_const_small(a[0], c), gl.mul_const_small(a[1], c))
 
+    def mul_elems(self, xs, ys):
+        """Elementwise [x * y for x, y in zip(xs, ys)] as ONE stacked ext
+        multiply (e.g. the PoseidonGate's 12 per-round s-box squarings)."""
+        if not xs:
+            return []
+        import jax
+        import jax.numpy as jnp
+
+        from .utils import profiling
+
+        sx = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *xs)
+        sy = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *ys)
+        with profiling.multiplier(len(xs)):
+            out = gle.mul(sx, sy)
+        return [jax.tree_util.tree_map(lambda t, i=i: t[i], out)
+                for i in range(len(xs))]
+
+    def mul_many(self, a, xs):
+        """[a * x for x in xs] as ONE vectorized extension multiply over a
+        stacked leading axis (graph-size discipline: an unrolled ext mul is
+        ~900 jaxpr eqns, and evaluate_gate_constraints multiplies EVERY
+        gate constraint by its filter — ~600 muls for the recursion-mix
+        circuit)."""
+        if not xs:
+            return []
+        import jax
+        import jax.numpy as jnp
+
+        from .utils import profiling
+
+        stacked = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *xs)
+        ab = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (len(xs),) + x.shape), a)
+        with profiling.multiplier(len(xs)):
+            out = gle.mul(ab, stacked)
+        return [jax.tree_util.tree_map(lambda t, i=i: t[i], out)
+                for i in range(len(xs))]
+
     def fold(self, body, carry, xs):
         """Graph-size discipline for F-generic gate evals: run the repeated
         per-step structure as ONE lax.scan trace instead of unrolling (the

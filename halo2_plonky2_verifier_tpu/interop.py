@@ -248,7 +248,13 @@ def plonk_proof_from_plonky2_json(s) -> PlonkProofWithPublicInputs:
                 p["plonk_zs_partial_products_cap"]),
             quotient_polys_cap=_cap_dec(p["quotient_polys_cap"]),
             openings=PlonkOpeningSet(
-                **{k: _exts_dec(o.get(k, []))
+                # the seven pre-lookup OpeningSet fields are mandatory in
+                # plonky2's serde layout: a missing key must fail here as a
+                # parse error, not later as an obscure stacking-shape error;
+                # only the lookup columns are absent on lookup-free circuits
+                **{k: _exts_dec(o[k] if k not in ("lookup_zs",
+                                                  "lookup_zs_next")
+                                else o.get(k, []))
                    for k in _PLONK_OPENING_FIELDS}),
             opening_proof=fri_proof_dec(p["opening_proof"]),
         ),

@@ -191,6 +191,10 @@ class CircuitBuilder:
         self.luts = []              # registered lookup tables (tuple of pairs)
         self.lookup_rows = {}       # lut_index -> [rows] (LookupGate rows)
         self._lookup_slot = {}      # lut_index -> [row, next_slot]
+        self._ra_slots = {}         # bits -> [row, next_copy]
+        self.row_hints = {}         # row -> [(wire, fn, dep_targets)]
+        self._hint_row = None
+        self._hint_next = 0
 
     # -- gate allocation ------------------------------------------------------
 
@@ -222,12 +226,41 @@ class CircuitBuilder:
         self._const_cache[value] = t
         return t
 
+    def hint_input(self, fn, deps) -> Target:
+        """A free wire whose witness value is computed at fill time as
+        fn(*values of deps) — the executor analog of the reference's
+        out-of-circuit hints (GoldilocksChip::reduce's quotient/remainder
+        witnesses, base.rs:347-368; QuadExt inv hint, extension.rs:321-340).
+        The hint alone constrains nothing: the caller must add the binding
+        constraint (e.g. x * hint == 1 for an inverse).  The hint lives on a
+        NoopGate row placed after every dep's producing row so the
+        sequential witness pass sees dep values."""
+        deps = list(deps)
+        max_dep = max((d[0] for d in deps), default=-1)
+        if (self._hint_row is None
+                or self._hint_next >= self.config.num_routed_wires
+                or self._hint_row < max_dep):
+            self._hint_row = self.add_gate(NoopGate())
+            self._hint_next = 0
+        t = (self._hint_row, self._hint_next)
+        self._hint_next += 1
+        self.row_hints.setdefault(self._hint_row, []).append(
+            (t[1], fn, deps))
+        return t
+
+    @staticmethod
+    def _max_row(targets):
+        return max(t[0] for t in targets)
+
     def arithmetic(self, c0, c1, m0: Target, m1: Target, addend: Target) -> Target:
         """out = c0 * m0 * m1 + c1 * addend (plonky2 arithmetic op)."""
         key = (c0 % gl.P, c1 % gl.P)
         num_ops = self.config.num_routed_wires // 4
         slot = self._arith_slots.get(key)
-        if slot is None or slot[1] >= num_ops:
+        # never reuse a slot row older than any operand's producing row:
+        # the witness pass is sequential by row (same rule as add_lookup)
+        if (slot is None or slot[1] >= num_ops
+                or slot[0] < self._max_row((m0, m1, addend))):
             row = self.add_gate(ArithmeticGate(num_ops), list(key))
             slot = [row, 0]
             self._arith_slots[key] = slot
@@ -242,8 +275,19 @@ class CircuitBuilder:
     def add(self, a, b):
         return self.arithmetic(1, 1, a, self.constant(1), b)
 
+    def sub(self, a, b):
+        return self.arithmetic(1, gl.P - 1, a, self.constant(1), b)
+
     def mul(self, a, b):
         return self.arithmetic(1, 0, a, b, self.constant(0))
+
+    def mul_const(self, c, a):
+        """c * a for a host-int constant c."""
+        return self.arithmetic(c, 0, a, self.constant(1), self.constant(0))
+
+    def mul_add(self, a, b, c):
+        """a * b + c."""
+        return self.arithmetic(1, 1, a, b, c)
 
     def split_le(self, x: Target, num_bits) -> List[Target]:
         """Boolean (base-2) decomposition of x, LSB-first, range-checked by
@@ -272,8 +316,10 @@ class CircuitBuilder:
         key = (c0 % gl.P, c1 % gl.P)
         num_ops = self.config.num_routed_wires // 8
         assert num_ops >= 1
+        deps = (*m0, *m1, *addend)
         slot = self._arith_ext_slots.get(key)
-        if slot is None or slot[1] >= num_ops:
+        if (slot is None or slot[1] >= num_ops
+                or slot[0] < self._max_row(deps)):
             row = self.add_gate(ArithmeticExtensionGate(num_ops), list(key))
             slot = [row, 0]
             self._arith_ext_slots[key] = slot
@@ -293,12 +339,18 @@ class CircuitBuilder:
         one = self.constant(1)
         return self.arithmetic_extension(1, 1, a, (one, self.constant(0)), b)
 
+    def sub_extension(self, a, b):
+        one = self.constant(1)
+        return self.arithmetic_extension(
+            1, gl.P - 1, a, (one, self.constant(0)), b)
+
     def mul_extension(self, a, b):
         """Extension multiply through a MulExtensionGate."""
         num_ops = self.config.num_routed_wires // 6
         assert num_ops >= 1
         slot = self._mul_ext_slot
-        if slot is None or slot[1] >= num_ops:
+        if (slot is None or slot[1] >= num_ops
+                or slot[0] < self._max_row((*a, *b))):
             row = self.add_gate(MulExtensionGate(num_ops), [1])
             slot = self._mul_ext_slot = [row, 0]
         row, op = slot
@@ -344,22 +396,33 @@ class CircuitBuilder:
         return state[:num_outputs]
 
     def random_access(self, index: Target, items: List[Target]) -> Target:
-        """claimed = items[index] via a RandomAccessGate; items padded to a
-        power of two by repeating the last element (index must stay in the
-        original range at prove time for meaningful semantics)."""
+        """claimed = items[index] via a RandomAccessGate copy; items padded
+        to a power of two by repeating the last element (index must stay in
+        the original range at prove time for meaningful semantics).  Copies
+        of the same vector width are packed onto shared rows up to the wire
+        budget (plonky2 random_access.rs num_copies); unused copies of a row
+        default to the all-zero self-consistent witness."""
         assert items, "random_access needs at least one item"
         bits = max(1, (len(items) - 1).bit_length())
         vec = 1 << bits
         items = list(items) + [items[-1]] * (vec - len(items))
-        gate = RandomAccessGate(bits)
-        assert gate.wire_item(0, vec - 1) < self.config.num_routed_wires, \
-            "vector too wide for the routed-wire budget"
-        assert gate.num_wires <= self.config.num_wires
-        row = self.add_gate(gate)
-        self.connect(index, (row, gate.wire_index(0)))
+        num_copies = min(self.config.num_routed_wires // (2 + vec),
+                         self.config.num_wires // (2 + vec + bits))
+        assert num_copies >= 1, "vector too wide for the routed-wire budget"
+        slot = self._ra_slots.get(bits)
+        if (slot is None or slot[1] >= num_copies
+                or slot[0] < self._max_row([index, *items])):
+            gate = RandomAccessGate(bits, num_copies)
+            assert gate.num_wires <= self.config.num_wires
+            row = self.add_gate(gate)
+            slot = self._ra_slots[bits] = [row, 0]
+        row, c = slot
+        slot[1] += 1
+        gate = self.rows[row][0]
+        self.connect(index, (row, gate.wire_index(c)))
         for i, t in enumerate(items):
-            self.connect(t, (row, gate.wire_item(0, i)))
-        return (row, gate.wire_claimed(0))
+            self.connect(t, (row, gate.wire_item(c, i)))
+        return (row, gate.wire_claimed(c))
 
     def _connect_ext(self, pair, row, wires2):
         self.connect(pair[0], (row, wires2[0]))
@@ -452,6 +515,19 @@ class CircuitBuilder:
                                for i, o in pairs))
         return len(self.luts) - 1
 
+    def _pad_lookup_row(self, row, used):
+        """Alias a LookupGate row's unused slots to slot 0 (they then
+        contribute duplicate lookups, which the multiplicities absorb).
+        Must run for EVERY partially-used row — an unconnected slot wire
+        defaults to 0 in the witness and LookupGate.fill would then require
+        0 to be a table input."""
+        L = self.lookup_slots_per_row()
+        for s in range(used, L):
+            self.connect((row, LookupGate.wire_inp(s)),
+                         (row, LookupGate.wire_inp(0)))
+            self.connect((row, LookupGate.wire_out(s)),
+                         (row, LookupGate.wire_out(0)))
+
     def add_lookup(self, inp: Target, lut_index: int) -> Target:
         """out = table[inp] via a LookupGate slot (plonky2
         CircuitBuilder::add_lookup_from_index); the logUp argument proves
@@ -462,6 +538,9 @@ class CircuitBuilder:
         # witness pass is sequential by row, so a lookup row must come after
         # every row its inputs are set on
         if slot is None or slot[1] >= L or inp[0] > slot[0]:
+            if slot is not None and slot[1] < L:
+                # the abandoned row keeps unconnected slots otherwise
+                self._pad_lookup_row(slot[0], slot[1])
             row = self.add_gate(
                 LookupGate(L, lut_index, self.luts[lut_index]))
             self.lookup_rows.setdefault(lut_index, []).append(row)
@@ -492,13 +571,8 @@ class CircuitBuilder:
         for li in range(len(self.luts)):
             L = self.lookup_slots_per_row()
             slot = self._lookup_slot.get(li)
-            if slot is not None:
-                row, used = slot
-                for s in range(used, L):
-                    self.connect((row, LookupGate.wire_inp(s)),
-                                 (row, LookupGate.wire_inp(0)))
-                    self.connect((row, LookupGate.wire_out(s)),
-                                 (row, LookupGate.wire_out(0)))
+            if slot is not None and slot[1] < L:
+                self._pad_lookup_row(slot[0], slot[1])
             entries = list(self.luts[li])
             pad = -len(entries) % L
             entries.extend([entries[-1]] * pad)

@@ -57,6 +57,10 @@ def fill_witness(builder, common, input_values):
         return lut_counts[li]
 
     for row, (gate, consts) in enumerate(builder.rows):
+        # hint wires on this row (CircuitBuilder.hint_input): computed from
+        # earlier rows' values, in registration order
+        for (wire, fn, deps) in builder.row_hints.get(row, ()):
+            set_val((row, wire), fn(*[get_val(d) for d in deps]))
         if isinstance(gate, ConstantGate):
             for i in range(gate.num_consts):
                 set_val((row, i), consts[i])

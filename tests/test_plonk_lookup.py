@@ -87,6 +87,25 @@ def test_lookup_tamper_rejected(lookup_proof):
         "public_inputs", [(b.public_inputs[0] + 1) % p]))
 
 
+def test_lookup_abandoned_row_padded():
+    """Regression (ADVICE r4): a LookupGate row abandoned by add_lookup's
+    row-ordering re-allocation must have its unused slots aliased to slot 0
+    at abandonment time.  With a table lacking input 0, an unpadded slot
+    defaults to witness 0 and LookupGate.fill crashes during proving."""
+    b = CircuitBuilder(_small_cfg())
+    sq = b.add_lookup_table([(i, i * i) for i in range(1, 17)])  # no input 0
+    x = b.add_input()
+    y = b.add_lookup(x, sq)     # slot row with free slots remaining
+    z = b.add(y, y)             # produced on a later row
+    w = b.add_lookup(z, sq)     # inp row > slot row: first row abandoned
+    out = b.add(w, y)
+    b.register_public_input(out)
+    common, pd, vd, builder = b.build()
+    pwp = prove(common, pd, builder, {x: 2})    # y=4, z=8, w=64
+    assert pwp.public_inputs == [68]
+    verify(common, vd, pwp)
+
+
 def test_lookup_value_not_in_table_unprovable():
     common, pd, vd, builder, x = _build_lookup_circuit()
     with pytest.raises(AssertionError):

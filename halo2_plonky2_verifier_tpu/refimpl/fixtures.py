@@ -18,15 +18,20 @@ def fibonacci_public_inputs(num_rows):
     return [0, 1, fibonacci(num_rows - 1, 0, 1, gl.P)]
 
 
-def get_fibonacci_proof(num_rows, config=None, cache_dir=None, hasher=None):
+def get_fibonacci_proof(num_rows, config=None, cache_dir=None, hasher=None,
+                        transcript="poseidon_goldilocks"):
     """Returns (stark, config, proof_with_pis); generates and caches on miss.
 
     `hasher=refimpl.hashers.BN254` produces the PoseidonBN128GoldilocksConfig
-    analog (BN254 Merkle commitments, Goldilocks transcript)."""
+    analog (BN254 Merkle commitments, Goldilocks transcript);
+    `transcript="poseidon_bn254"` additionally swaps the Fiat-Shamir sponge
+    (the all-BN254 configuration)."""
     config = config or StarkConfig.standard_fast_config()
     cache_dir = cache_dir or FIXTURE_DIR
     stark = FibonacciStark(num_rows)
     suffix = "" if hasher is None or hasher.name == "poseidon_goldilocks"         else f"_{hasher.name}"
+    if transcript != "poseidon_goldilocks":
+        suffix += "_bn254sponge"
     path = os.path.join(cache_dir, f"fib_stark_n{num_rows}{suffix}.json")
     if os.path.exists(path):
         with open(path) as f:
@@ -34,7 +39,8 @@ def get_fibonacci_proof(num_rows, config=None, cache_dir=None, hasher=None):
     from . import prover
     public_inputs = fibonacci_public_inputs(num_rows)
     trace = stark.generate_trace(public_inputs[0], public_inputs[1], gl.P)
-    pwp = prover.prove(stark, config, trace, public_inputs, hasher)
+    pwp = prover.prove(stark, config, trace, public_inputs, hasher,
+                       transcript)
     os.makedirs(cache_dir, exist_ok=True)
     with open(path, "w") as f:
         f.write(proof_to_json(pwp))
@@ -125,6 +131,73 @@ def get_fibonacci_batch_columnar(num_rows, count, config=None, cache_dir=None,
     batch = load_proofs(proofs, shape)
     save_batch_npz(npz, batch)
     return stark, config, batch
+
+
+def recursion_inner_stark_config():
+    """Tiny inner STARK shape for the recursive-verifier circuit: one
+    arity-4 FRI fold, 2 query rounds, cap 2^1, 8-bit PoW — small enough
+    that the outer circuit stays at degree 2^7 while exercising every
+    in-circuit verification surface (transcript, Merkle paths, vanishing,
+    combine_initial, fold, final poly)."""
+    from ..utils.config import FriConfig, StarkConfig
+    return StarkConfig(num_challenges=2, fri_config=FriConfig(
+        rate_bits=1, cap_height=1, proof_of_work_bits=8,
+        reduction_strategy=(2, 1), num_query_rounds=2))
+
+
+def recursive_fib_setup(num_rows=8, count=2):
+    """The recursive-verifier workload (the executor analog of the
+    reference's test_recursive_stark_verifier,
+    /root/reference/verifier/src/test_util/fibonacci_stark.rs:210-232):
+    `count` DISTINCT inner Fibonacci-STARK proofs plus the outer PLONK
+    circuit that verifies one such proof in-circuit.
+
+    Returns (stark, inner_config, inners, builder, proof_targets).
+    Inner proving is milliseconds (n=8); the circuit build is deterministic
+    so the outer common data / digest are stable across runs."""
+    from . import prover as sprover
+    from .plonk.recursion import build_recursive_stark_verifier
+
+    cfg = recursion_inner_stark_config()
+    stark = FibonacciStark(num_rows)
+    inners = []
+    for k in range(count):
+        x0, x1 = (2 * k) % gl.P, (2 * k + 1) % gl.P
+        pis = [x0, x1, fibonacci(num_rows - 1, x0, x1, gl.P)]
+        trace = stark.generate_trace(x0, x1, gl.P)
+        inners.append(sprover.prove(stark, cfg, trace, pis))
+    b, proof_t = build_recursive_stark_verifier(stark, cfg, inners[0])
+    return stark, cfg, inners, b, proof_t
+
+
+def get_recursive_proof_batch(count=2, num_rows=8, cache_dir=None):
+    """`count` outer PLONK proofs, each verifying a DISTINCT inner
+    Fibonacci-STARK proof in-circuit; outer proofs cached as JSON lines.
+
+    Returns (common, verifier_data, outer_proofs, inners)."""
+    from .plonk import plonk_proof_from_json, plonk_proof_to_json
+    from .plonk.prover import prove as plonk_prove
+    from .plonk.recursion import recursive_witness
+
+    cache_dir = cache_dir or FIXTURE_DIR
+    stark, cfg, inners, b, proof_t = recursive_fib_setup(num_rows, count)
+    common, prover_data, verifier_data, builder = b.build()
+    path = os.path.join(cache_dir,
+                        f"recursive_fib_n{num_rows}_x{count}.jsonl")
+    if os.path.exists(path):
+        with open(path) as f:
+            outers = [plonk_proof_from_json(line) for line in f
+                      if line.strip()]
+        if len(outers) >= count:
+            return common, verifier_data, outers[:count], inners
+    outers = [plonk_prove(common, prover_data, builder,
+                          recursive_witness(proof_t, inner))
+              for inner in inners]
+    os.makedirs(cache_dir, exist_ok=True)
+    with open(path, "w") as f:
+        for pwp in outers:
+            f.write(plonk_proof_to_json(pwp) + "\n")
+    return common, verifier_data, outers, inners
 
 
 def bench_plonk_circuit(cfg=None, steps=60):

@@ -118,17 +118,17 @@ def main():
     # fixture cache exists (gitignored at 47 MB — regenerate in ~5 min with
     # refimpl.fixtures.get_fibonacci_batch_columnar(32, 4096); never burns
     # driver time regenerating implicitly).
+    # when BENCH_SUBBATCHES>1 the stacked copies would repeat the SAME small
+    # all-distinct batch, so the line would be distinct-per-sub-batch only —
+    # exactly the tiling flattery the metric exists to rule out; skip it.
     value_all_distinct = None
-    if (bench_config == "gl" and num_rows == 32
+    if (bench_config == "gl" and num_rows == 32 and sub_batches == 1
             and os.environ.get("BENCH_ALLDISTINCT", "1") == "1"):
         from halo2_plonky2_verifier_tpu.refimpl.fixtures import FIXTURE_DIR
         npz_path = os.path.join(FIXTURE_DIR,
                                 f"fib_stark_n{num_rows}_x{small_size}.npz")
         if os.path.exists(npz_path):
             _, _, batch_d = get_fibonacci_batch_columnar(num_rows, small_size)
-            if sub_batches > 1:
-                batch_d = jax.tree_util.tree_map(
-                    lambda x: jax.numpy.stack([x] * sub_batches), batch_d)
             # npz loading leaves host numpy arrays: device_put ONCE, or every
             # timed call re-ships ~47 MB over the tunnel (measured 65x slower)
             batch_d = jax.device_put(batch_d)
@@ -187,6 +187,7 @@ def main():
     #     fused kernels undercut (limb-plane MDS), so this can legitimately
     #     exceed a naive gl.mul-stream rate.
     if os.environ.get("BENCH_ROOFLINE", "1") == "1" and bench_config == "gl":
+        from halo2_plonky2_verifier_tpu.stark import build_merkle_only_verifier
         from halo2_plonky2_verifier_tpu.utils import profiling
 
         tree = profiling.profile_verifier(verify_one, batch_small)
@@ -203,8 +204,46 @@ def main():
         result["poseidon_perm_per_proof"] = int(perms_per_proof)
         result["poseidon_perm_per_sec"] = round(perm_rate, 0)
         result["kernel_sol_perm_per_sec"] = round(perm_sol, 0)
+
+        # ---- stripped-verifier probe (VERDICT r4 item 2a) -----------------
+        # Same batch, same layouts, ONLY the merged Merkle kernels: its perm
+        # rate is an in-context ceiling, so the ratio below is a falsifiable
+        # integration efficiency (drops when non-Merkle overhead grows; can
+        # also exceed 100 if the extra work overlaps better than it costs —
+        # report the raw ratio, no clamp).
+        stripped_one = build_merkle_only_verifier(
+            stark, config, degree_bits, hasher=hasher)
+        s_tree = profiling.profile_verifier(stripped_one, batch_small)
+        s_perms_per_proof = s_tree.root.total("poseidon_permute") / small_size
+        if sub_batches > 1:
+            def stripped_fn(b):
+                return jax.lax.map(stripped_one, b).reshape(-1)
+        else:
+            stripped_fn = stripped_one
+        stripped = smart_jit(stripped_fn)
+        np.asarray(stripped(batch))         # compile
+        dt_s = float("inf")
+        for _ in range(epochs):
+            t0 = time.time()
+            acc = stripped(batch)
+            for _ in range(iters - 1):
+                acc = acc & stripped(batch)
+            np.asarray(acc)
+            dt_s = min(dt_s, (time.time() - t0) / iters)
+        stripped_rate = s_perms_per_proof * (batch_size / dt_s)
+        result["merkle_only_perm_per_proof"] = int(s_perms_per_proof)
+        result["merkle_only_perm_per_sec"] = round(stripped_rate, 0)
         result["integration_efficiency_pct"] = round(
-            100.0 * perm_rate / max(perm_sol, perm_rate), 2)
+            100.0 * perm_rate / stripped_rate, 2)
+
+        # ---- static op-count MFU (VERDICT r4 item 2b) ----------------------
+        try:
+            from op_roofline import gl_kernel_mfu
+
+            mfu = gl_kernel_mfu(perm_rate)
+            result.update(mfu)
+        except Exception as e:  # pragma: no cover - probe must never kill bench
+            print(f"# op_roofline failed: {e}", file=sys.stderr)
 
     print(json.dumps(result))
     print(f"# n=2^{degree_bits} rows, batch={batch_size} ({distinct} distinct), "

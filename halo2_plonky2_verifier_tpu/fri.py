@@ -221,6 +221,56 @@ def _gl_merkle_planes_verdict(H, leaf_datas, idxs, sibs, depths, caps,
     return H.eq(root, got)                                         # (B,Q,S)
 
 
+def merged_merkle_checks(S, H, batch, x_index, cap_index):
+    """EVERY Merkle path check of one verification — all oracles' initial
+    proofs and all reduction steps' proofs, stacked on one slot axis — as
+    the single fused/merged kernel invocation (the two_to_one frames that
+    are ~88% of the reference's workload, BASELINE.md).  Returns (B, Q, S)
+    booleans.  Shared by verify_fri and the stripped Merkle-only roofline
+    probe (stark.build_merkle_only_verifier), so the probe times EXACTLY the
+    kernels the verifier runs."""
+    leaf_datas, idxs, sibs, depths, caps = [], [], [], [], []
+    for oi, w in enumerate(S.oracle_widths):
+        leaf_datas.append(batch.initial_evals[oi])               # (B,Q,w) pair
+        idxs.append(x_index)
+        sibs.append(batch.initial_siblings[oi])                  # (B,Q,D,4)
+        depths.append(S.initial_depth)
+    caps.extend(batch.oracle_caps())
+
+    cum = 0
+    for si, ab in enumerate(S.reduction_arity_bits):
+        cum += ab
+        coset_idx = x_index >> np.uint32(cum)
+        ev = batch.step_evals[si]                                # (B,Q,arity,2) pair
+        flat = (ev[0].reshape(ev[0].shape[:2] + (-1,)),
+                ev[1].reshape(ev[1].shape[:2] + (-1,)))          # (B,Q,2*arity)
+        leaf_datas.append(flat)
+        idxs.append(coset_idx)
+        sibs.append(batch.step_siblings[si])
+        depths.append(S.step_depths[si])
+        caps.append(batch.commit_caps[si])
+
+    d_max = max(depths)
+    from .ops import poseidon as _pos
+    from .utils import profiling as _prof
+    if getattr(H, "supports_planes", False):
+        return _gl_merkle_planes_verdict(
+            H, leaf_datas, idxs, sibs, tuple(depths), caps, cap_index, d_max)
+    if (H.name == "poseidon_bn254" and d_max
+            and _pos._impl() == "pallas" and not _prof.active()):
+        return _bn254_merkle_planes_verdict(
+            H, leaf_datas, idxs, sibs, tuple(depths), caps, cap_index, d_max)
+    nodes = [H.leaf_hash(ld) for ld in leaf_datas]               # (B,Q[,hash])
+    sibs = [s if d == d_max else H.pad_level_axis(s, 1, d_max - d)
+            for s, d in zip(sibs, depths)]
+    nodes_st = H.stack(nodes, 2)                                 # (B,Q,S[,hash])
+    idx_st = jnp.stack(idxs, axis=-1)                            # (B,Q,S)
+    sib_st = H.stack(sibs, 2)                                    # (B,Q,S,Dmax[,hash])
+    caps_st = H.stack(caps, 1)                                   # (B,S,cap[,hash])
+    return merged_merkle_verdict(H, nodes_st, idx_st, sib_st,
+                                 tuple(depths), caps_st, cap_index)
+
+
 from .utils.profiling import count
 
 
@@ -302,47 +352,7 @@ def verify_fri(shape, batch, challenges, verdict):
     # --- merged Merkle checks ----------------------------------------------
     _mk_scope = scope("verify_merkle_proofs")
     _mk_scope.__enter__()
-    leaf_datas, idxs, sibs, depths, caps = [], [], [], [], []
-    for oi, w in enumerate(S.oracle_widths):
-        leaf_datas.append(batch.initial_evals[oi])               # (B,Q,w) pair
-        idxs.append(x_index)
-        sibs.append(batch.initial_siblings[oi])                  # (B,Q,D,4)
-        depths.append(S.initial_depth)
-    caps.extend(batch.oracle_caps())
-
-    cum = 0
-    for si, ab in enumerate(S.reduction_arity_bits):
-        cum += ab
-        coset_idx = x_index >> np.uint32(cum)
-        ev = batch.step_evals[si]                                # (B,Q,arity,2) pair
-        flat = (ev[0].reshape(ev[0].shape[:2] + (-1,)),
-                ev[1].reshape(ev[1].shape[:2] + (-1,)))          # (B,Q,2*arity)
-        leaf_datas.append(flat)
-        idxs.append(coset_idx)
-        sibs.append(batch.step_siblings[si])
-        depths.append(S.step_depths[si])
-        caps.append(batch.commit_caps[si])
-
-    d_max = max(depths)
-    from .ops import poseidon as _pos
-    from .utils import profiling as _prof
-    if getattr(H, "supports_planes", False):
-        mk_ok = _gl_merkle_planes_verdict(
-            H, leaf_datas, idxs, sibs, tuple(depths), caps, cap_index, d_max)
-    elif (H.name == "poseidon_bn254" and d_max
-          and _pos._impl() == "pallas" and not _prof.active()):
-        mk_ok = _bn254_merkle_planes_verdict(
-            H, leaf_datas, idxs, sibs, tuple(depths), caps, cap_index, d_max)
-    else:
-        nodes = [H.leaf_hash(ld) for ld in leaf_datas]           # (B,Q[,hash])
-        sibs = [s if d == d_max else H.pad_level_axis(s, 1, d_max - d)
-                for s, d in zip(sibs, depths)]
-        nodes_st = H.stack(nodes, 2)                             # (B,Q,S[,hash])
-        idx_st = jnp.stack(idxs, axis=-1)                        # (B,Q,S)
-        sib_st = H.stack(sibs, 2)                                # (B,Q,S,Dmax[,hash])
-        caps_st = H.stack(caps, 1)                               # (B,S,cap[,hash])
-        mk_ok = merged_merkle_verdict(H, nodes_st, idx_st, sib_st,
-                                      tuple(depths), caps_st, cap_index)
+    mk_ok = merged_merkle_checks(S, H, batch, x_index, cap_index)
     verdict = verdict & mk_ok.all(axis=(1, 2))                   # (B,Q,S)
     _mk_scope.__exit__(None, None, None)
 

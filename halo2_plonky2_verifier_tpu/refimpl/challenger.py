@@ -45,6 +45,27 @@ class BN254Challenger:
         for x in xs:
             self.observe_element(x)
 
+    def observe_hash(self, h, hasher=None):
+        """Observe a hash value (challenger/mod.rs:59-63 with the BN254
+        sponge): `hasher` converts non-Goldilocks hash types; a bare list
+        is a 4-element Goldilocks hash."""
+        if hasher is not None:
+            self.observe_elements(hasher.to_goldilocks_vec(h))
+        else:
+            assert len(h) == 4
+            self.observe_elements(h)
+
+    def observe_cap(self, cap, hasher=None):
+        for h in cap:
+            self.observe_hash(h, hasher)
+
+    def observe_extension_element(self, e):
+        self.observe_elements([e[0], e[1]])
+
+    def observe_extension_elements(self, es):
+        for e in es:
+            self.observe_extension_element(e)
+
     def _absorb_buffered_inputs(self):
         pb = self._pb
         if not self.input_buffer:

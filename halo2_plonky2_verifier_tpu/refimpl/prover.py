@@ -359,7 +359,7 @@ def _fri_proof(initial_trees, coeffs, values, challenger, fri_params, hasher):
 
 
 def _clone_challenger(ch):
-    c = Challenger()
+    c = type(ch)()
     c.sponge_state = list(ch.sponge_state)
     c.input_buffer = list(ch.input_buffer)
     c.output_buffer = list(ch.output_buffer)
@@ -373,6 +373,19 @@ def _grind_proof_of_work(challenger, pow_bits, batch=8192):
     once, then each candidate costs a single batched permutation with the
     pending tail and w overwriting the rate prefix."""
     import numpy as np
+
+    if not isinstance(challenger, Challenger):
+        # non-GL sponge (e.g. BN254Challenger): fork-per-candidate search
+        # through the exact challenger semantics — fine for the small
+        # pow_bits the BN254-sponge fixtures use
+        threshold = 1 << (64 - pow_bits)
+        w = 0
+        while True:
+            fork = _clone_challenger(challenger)
+            fork.observe_element(w)
+            if fork.get_challenge() < threshold:
+                return w
+            w += 1
 
     from .goldilocks_numpy import permute_batch
     from .poseidon import SPONGE_RATE, SPONGE_WIDTH
@@ -446,14 +459,28 @@ def fri_instance_batches(stark, config, zeta, g_sub):
     ]
 
 
-def prove(stark, config: StarkConfig, trace_values, public_inputs, hasher=None):
+def make_challenger(transcript="poseidon_goldilocks"):
+    """Transcript sponge factory (the reference ChallengerChip is generic
+    over PermutationChip, challenger/mod.rs:19: GL or BN254 sponge)."""
+    if transcript == "poseidon_goldilocks":
+        return Challenger()
+    if transcript == "poseidon_bn254":
+        from .challenger import BN254Challenger
+        return BN254Challenger()
+    raise ValueError(f"unknown transcript backend {transcript!r}")
+
+
+def prove(stark, config: StarkConfig, trace_values, public_inputs, hasher=None,
+          transcript="poseidon_goldilocks"):
     """Produce a StarkProofWithPublicInputs for `stark` on `trace_values`
     (column-major list of value lists).
 
     `hasher` selects the Merkle/commitment hash (hashers.GOLDILOCKS default,
-    hashers.BN254 for the PoseidonBN128GoldilocksConfig analog); the
-    Fiat-Shamir transcript is always the Goldilocks Poseidon sponge
-    (reference: stark/mod.rs:493-499)."""
+    hashers.BN254 for the PoseidonBN128GoldilocksConfig analog); `transcript`
+    selects the Fiat-Shamir sponge — the reference's test configs keep the
+    Goldilocks sponge (stark/mod.rs:493-499), but the ChallengerChip trait is
+    generic over the permutation (challenger/mod.rs:19), and
+    transcript="poseidon_bn254" instantiates the all-BN254 configuration."""
     from .hashers import GOLDILOCKS
     hasher = hasher or GOLDILOCKS
     degree = len(trace_values[0])
@@ -467,7 +494,7 @@ def prove(stark, config: StarkConfig, trace_values, public_inputs, hasher=None):
 
     trace_batch = PolynomialBatch.from_values(trace_values, rate_bits,
                                               cap_height, hasher)
-    challenger = Challenger()
+    challenger = make_challenger(transcript)
     challenger.observe_cap(trace_batch.merkle_tree.cap, hasher)
 
     # Permutation argument

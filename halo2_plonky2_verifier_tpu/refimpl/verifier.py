@@ -36,10 +36,12 @@ def _check(cond, msg):
 # Challenge derivation (mirrors ChallengerChip::get_stark_challenges)
 # ----------------------------------------------------------------------------
 
-def get_stark_challenges(proof, stark, config, hasher=None):
+def get_stark_challenges(proof, stark, config, hasher=None,
+                         transcript="poseidon_goldilocks"):
     from .hashers import GOLDILOCKS
+    from .prover import make_challenger
     hasher = hasher or GOLDILOCKS
-    ch = Challenger()
+    ch = make_challenger(transcript)
     ch.observe_cap(proof.trace_cap, hasher)
 
     permutation_challenge_sets = None
@@ -269,14 +271,15 @@ def check_quotient_consistency(stark, config, openings, public_inputs, challenge
 # Top-level verification (mirrors StarkChip::verify_proof)
 # ----------------------------------------------------------------------------
 
-def verify(stark, proof_with_pis, config, check_vanishing=True, hasher=None):
+def verify(stark, proof_with_pis, config, check_vanishing=True, hasher=None,
+           transcript="poseidon_goldilocks"):
     """Returns None on success; raises VerificationError otherwise."""
     proof = proof_with_pis.proof
     public_inputs = proof_with_pis.public_inputs
     _check(len(public_inputs) == stark.PUBLIC_INPUTS, "bad public input count")
 
     degree_bits = proof.recover_degree_bits(config)
-    challenges = get_stark_challenges(proof, stark, config, hasher)
+    challenges = get_stark_challenges(proof, stark, config, hasher, transcript)
 
     # check_permutation_options (reference: stark/mod.rs:123-142)
     opts = [proof.permutation_zs_cap is not None,

@@ -10,6 +10,8 @@ function `verify(batch: ProofBatch) -> (B,) bool` suitable for jax.jit /
 vmap / shard_map.  One compilation serves every batch of the same geometry.
 """
 
+import numpy as np
+
 import jax.numpy as jnp
 
 import jax
@@ -19,7 +21,8 @@ from .ops import goldilocks as gl
 from .ops import goldilocks_ext as gle
 from .refimpl import field as gl_int
 from .refimpl.prover import eval_permutation_checks, get_permutation_batches
-from .transcript import TranscriptSchedule, extract, extract_ext, run_schedule
+from .transcript import (BN254TranscriptSchedule, TranscriptSchedule, extract,
+                         extract_ext, run_schedule, run_schedule_bn254)
 from .witness import ProofBatch, canonicality_verdict, proof_shape
 
 
@@ -190,12 +193,54 @@ def fri_instance_polys(shape):
     return trace + zs + quot, trace + zs
 
 
+def build_merkle_only_verifier(stark, config, degree_bits,
+                               hasher="poseidon_goldilocks"):
+    """The verifier STRIPPED to its Merkle-path work: same ProofBatch, same
+    layouts, the SAME merged-path kernels (fri.merged_merkle_checks) — but
+    no transcript, no vanishing check, no FRI arithmetic.  Query indices are
+    synthesized with the same shapes/dtypes (path-kernel cost on TPU is
+    data-independent: every select/compress is branchless).
+
+    Its throughput is an IN-CONTEXT ceiling for the full verifier:
+    bench.py reports integration_efficiency = full_perm_rate /
+    stripped_perm_rate, which is falsifiable — it DROPS when integration
+    overhead (transcript, folds, layout moves) grows (VERDICT r4 item 2a,
+    replacing the clamped max() form)."""
+    from .fri import merged_merkle_checks
+    from .hashing import get_hash_ops
+
+    shape = proof_shape(stark, config, degree_bits, hasher)
+    H = get_hash_ops(hasher)
+
+    def verify(batch: ProofBatch):
+        S = batch.shape
+        B = batch.batch_size
+        Q = batch.initial_evals[0][0].shape[1]
+        n_log = S.lde_bits
+        # synthetic per-(proof, query) indices, data-dependent on the batch
+        # so nothing folds away, uniform over the index range
+        base = batch.pow_witness[1][:, None]                   # (B, 1) u32
+        q_iota = jnp.arange(Q, dtype=jnp.uint32)[None, :] * np.uint32(2654435761)
+        x_index = (base + q_iota) & np.uint32((1 << n_log) - 1)
+        cap_index = x_index >> np.uint32(S.initial_depth)
+        mk_ok = merged_merkle_checks(S, H, batch, x_index, cap_index)
+        # reduce to (B,) like the real verifier so timing includes the same
+        # final reduction/fetch shape
+        return mk_ok.any(axis=(1, 2))
+
+    return verify
+
+
 def build_verifier(stark, config, degree_bits, check_vanishing=True,
-                   hasher="poseidon_goldilocks", query_shard_axis=None):
+                   hasher="poseidon_goldilocks", query_shard_axis=None,
+                   transcript="poseidon_goldilocks"):
     """Returns verify(batch) -> (B,) bool.  `hasher` selects the Merkle /
     commitment hash backend ("poseidon_goldilocks" or "poseidon_bn254", the
-    reference's two configurations; the transcript sponge is always
-    Poseidon-Goldilocks, stark/mod.rs:493-499).
+    reference's two configurations).  `transcript` selects the Fiat-Shamir
+    sponge: the reference's test configs keep Poseidon-Goldilocks
+    (stark/mod.rs:493-499), but ChallengerChip is generic over the
+    permutation (challenger/mod.rs:19) — "poseidon_bn254" gives the
+    all-BN254 configuration (BN254 Merkle + BN254 sponge).
 
     `query_shard_axis`: name of a shard_map mesh axis sharding the FRI query
     rounds.  The per-proof work (transcript, vanishing check) replicates per
@@ -206,11 +251,13 @@ def build_verifier(stark, config, degree_bits, check_vanishing=True,
 
     shape = proof_shape(stark, config, degree_bits, hasher)
     H = get_hash_ops(hasher)
+    bn254_sponge = transcript == "poseidon_bn254"
+    assert transcript in ("poseidon_goldilocks", "poseidon_bn254")
     get_logger(__name__).info(
         "build_verifier: %s n=2^%d queries=%d arities=%s hasher=%s "
-        "vanishing=%s qshard=%s", type(stark).__name__, degree_bits,
-        shape.num_queries, list(shape.reduction_arity_bits), hasher,
-        check_vanishing, query_shard_axis)
+        "transcript=%s vanishing=%s qshard=%s", type(stark).__name__,
+        degree_bits, shape.num_queries, list(shape.reduction_arity_bits),
+        hasher, transcript, check_vanishing, query_shard_axis)
 
     from .utils.profiling import scope
 
@@ -226,7 +273,8 @@ def build_verifier(stark, config, degree_bits, check_vanishing=True,
         # ------------------------------------------------------------------
         _tr_scope = scope("get_stark_challenges")
         _tr_scope.__enter__()
-        sched = TranscriptSchedule()
+        sched = (BN254TranscriptSchedule() if bn254_sponge
+                 else TranscriptSchedule())
         parts = []
 
         def observe(pair):
@@ -280,7 +328,8 @@ def build_verifier(stark, config, degree_bits, check_vanishing=True,
         elements = (jnp.concatenate([p[0] for p in parts], axis=1),
                     jnp.concatenate([p[1] for p in parts], axis=1))
         assert elements[0].shape[1] == sched.n_elements
-        ys = run_schedule(sched, elements)
+        ys = (run_schedule_bn254(sched, elements) if bn254_sponge
+              else run_schedule(sched, elements))
 
         # ------------------------------------------------------------------
         # 2. Extract challenge values

@@ -106,10 +106,52 @@ def main():
     print("ALL TPU KERNEL SANITY CHECKS PASSED", flush=True)
 
 
+def sharded_kernel_preflight():
+    """shard_map x Mosaic on the REAL chip (VERDICT r4 item 4): compile and
+    run the qp-sharded verifier (parallel.mesh.sharded_verifier — the exact
+    deployment path of a multi-chip mesh) on a 1-device mesh, with the fused
+    Pallas kernels active inside the shard_map body.  A Mosaic-inside-
+    shard_map incompatibility surfaces HERE, not on a production slice."""
+    import jax
+
+    from halo2_plonky2_verifier_tpu import load_proofs, proof_shape
+    from halo2_plonky2_verifier_tpu.parallel.mesh import (make_mesh,
+                                                          shard_batch,
+                                                          sharded_verifier)
+    from halo2_plonky2_verifier_tpu.refimpl.fixtures import get_fibonacci_proof
+
+    stark, config, pwp = get_fibonacci_proof(32)
+    degree_bits = pwp.proof.recover_degree_bits(config)
+    shape = proof_shape(stark, config, degree_bits)
+    batch = load_proofs([pwp] * 8, shape)
+    mesh = make_mesh(jax.devices()[:1], dp=1, qp=1)
+    vf = sharded_verifier(stark, config, degree_bits, mesh)
+    t0 = time.time()
+    verdict = np.asarray(vf(shard_batch(batch, mesh)))
+    assert verdict.all(), "sharded verifier rejected valid proofs"
+    print(f"shard_map x Pallas verifier OK ({time.time()-t0:.0f}s)",
+          flush=True)
+
+
+# Per-config throughput floors at the PREFLIGHT geometry (batch=256, 2
+# iters, 1 epoch) — a perf-regression gate, not just a compile gate
+# (VERDICT r4 item 6).  Values = ~60% of the last round-5 preflight
+# measurement on v5e; update alongside README when republishing numbers.
+# Override per config with BENCH_FLOOR_<NAME> (e.g. BENCH_FLOOR_GL=0 to
+# disable while debugging).
+_PREFLIGHT_FLOORS = {
+    "gl": 25000.0,
+    "gl-n2048": 2500.0,
+    "bn254": 1500.0,
+    "plonk": 3000.0,
+}
+
+
 def bench_configs_preflight():
     """Compile-and-run every bench configuration end-to-end on the attached
     chip (small batch, 1 epoch, roofline off): the flagship GL n=2^5, BN254,
-    PLONK (standard_recursion gate mix), and the GL n=2^11 fold shape."""
+    PLONK (standard_recursion gate mix), and the GL n=2^11 fold shape —
+    each gated on a throughput floor."""
     import json
     import subprocess
 
@@ -136,8 +178,17 @@ def bench_configs_preflight():
         ok = p.returncode == 0 and line
         if ok:
             val = json.loads(line)
-            print(f"preflight {name}: OK  {val['value']} {val['unit']} "
-                  f"({took:.0f}s)", flush=True)
+            floor = float(os.environ.get(
+                f"BENCH_FLOOR_{name.upper().replace('-', '_')}",
+                _PREFLIGHT_FLOORS.get(name, 0.0)))
+            if val["value"] < floor:
+                failures.append(f"{name} (perf: {val['value']} < {floor})")
+                print(f"preflight {name}: PERF REGRESSION  {val['value']} "
+                      f"{val['unit']} < floor {floor} ({took:.0f}s)",
+                      flush=True)
+            else:
+                print(f"preflight {name}: OK  {val['value']} {val['unit']} "
+                      f">= floor {floor} ({took:.0f}s)", flush=True)
         else:
             failures.append(name)
             print(f"preflight {name}: FAILED rc={p.returncode} ({took:.0f}s)\n"
@@ -150,4 +201,5 @@ def bench_configs_preflight():
 if __name__ == "__main__":
     main()
     if "--preflight" in sys.argv:
+        sharded_kernel_preflight()
         bench_configs_preflight()

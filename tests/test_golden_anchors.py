@@ -58,6 +58,59 @@ def test_frozen_transcript_challenges(anchor):
         assert got == anchor["permutation_challenges"]
 
 
+def _load_plonk():
+    with open(ANCHORS) as f:
+        return json.load(f).get("plonk_anchors", [])
+
+
+@pytest.mark.parametrize("anchor", _load_plonk(),
+                         ids=lambda a: a["circuit"])
+def test_frozen_plonk_anchors(anchor):
+    """PLONK-path anchors (VERDICT r4 item 7): the recursion-mix bench
+    circuit's and the recursive-verifier circuit's digests, commitments,
+    and Fiat-Shamir challenges are frozen — prover/verifier co-drift and
+    any builder-layout drift fail here."""
+    from halo2_plonky2_verifier_tpu.refimpl.fixtures import (
+        get_plonk_proof_batch, get_recursive_proof_batch)
+    from halo2_plonky2_verifier_tpu.refimpl.plonk.verifier import (
+        get_plonk_challenges)
+    from halo2_plonky2_verifier_tpu.refimpl.poseidon import hash_no_pad
+
+    if anchor["circuit"] == "plonk_recmix_s60":
+        common, vd, proofs = get_plonk_proof_batch(4)
+        pwp = proofs[0]
+    else:
+        common, vd, outers, _inners = get_recursive_proof_batch(count=2)
+        pwp = outers[0]
+    assert common.degree_bits == anchor["degree_bits"]
+    assert [str(x) for x in vd.circuit_digest] == anchor["circuit_digest"]
+    assert [str(x) for x in pwp.public_inputs] == anchor["public_inputs"]
+    ch = get_plonk_challenges(pwp.proof, hash_no_pad(list(pwp.public_inputs)),
+                              common, vd)
+    assert [str(ch["plonk_zeta"][0]),
+            str(ch["plonk_zeta"][1])] == anchor["plonk_zeta"]
+    assert str(ch["fri_pow_response"]) == anchor["fri_pow_response"]
+    for key, got in (
+            ("plonk_betas", ch["plonk_betas"]),
+            ("plonk_gammas", ch["plonk_gammas"]),
+            ("plonk_alphas", ch["plonk_alphas"])):
+        if key in anchor:
+            assert [str(x) for x in got] == anchor[key]
+    if "fri_betas" in anchor:
+        assert [[str(b[0]), str(b[1])] for b in ch["fri_betas"]] \
+            == anchor["fri_betas"]
+    if "fri_query_indices_first8" in anchor:
+        assert [str(q) for q in ch["fri_query_indices"][:8]] \
+            == anchor["fri_query_indices_first8"]
+    if "wires_cap_first4" in anchor:
+        assert [[str(x) for x in h] for h in pwp.proof.wires_cap[:4]] \
+            == anchor["wires_cap_first4"]
+    if "constants_sigmas_cap_first4" in anchor:
+        assert [[str(x) for x in h]
+                for h in vd.constants_sigmas_cap[:4]] \
+            == anchor["constants_sigmas_cap_first4"]
+
+
 def _trace_lde_leaves(stark, config, num_rows):
     """Regenerate the trace and its bit-reversed LDE leaf rows (the committed
     data of the trace oracle; plonky2 PolynomialBatch semantics)."""

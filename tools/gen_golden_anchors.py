@@ -62,6 +62,71 @@ def anchors_for(num_rows, hasher_name):
     return out
 
 
+def _ext_s(e):
+    return [str(e[0]), str(e[1])]
+
+
+def plonk_anchors():
+    """Frozen Fiat-Shamir challenges + commitments for the PLONK path
+    (VERDICT r4 item 7): the recursion-mix bench circuit's first fixture
+    proof, pinning the plonky2 challenge order (circuit digest -> pi_hash ->
+    wires cap -> betas/gammas -> zs cap -> alphas -> quotient cap -> zeta ->
+    openings -> FRI) so prover/verifier co-drift is caught."""
+    from halo2_plonky2_verifier_tpu.refimpl.fixtures import (
+        get_plonk_proof_batch)
+    from halo2_plonky2_verifier_tpu.refimpl.plonk.verifier import (
+        get_plonk_challenges)
+    from halo2_plonky2_verifier_tpu.refimpl.poseidon import hash_no_pad
+
+    common, vd, proofs = get_plonk_proof_batch(4)
+    pwp = proofs[0]
+    pi_hash = hash_no_pad(list(pwp.public_inputs))
+    ch = get_plonk_challenges(pwp.proof, pi_hash, common, vd)
+    return {
+        "circuit": "plonk_recmix_s60",
+        "degree_bits": common.degree_bits,
+        "circuit_digest": [str(x) for x in vd.circuit_digest],
+        "constants_sigmas_cap_first4": [
+            [str(x) for x in h] for h in vd.constants_sigmas_cap[:4]],
+        "wires_cap_first4": [[str(x) for x in h]
+                             for h in pwp.proof.wires_cap[:4]],
+        "public_inputs": [str(x) for x in pwp.public_inputs],
+        "plonk_betas": [str(b) for b in ch["plonk_betas"]],
+        "plonk_gammas": [str(g) for g in ch["plonk_gammas"]],
+        "plonk_alphas": [str(a) for a in ch["plonk_alphas"]],
+        "plonk_zeta": _ext_s(ch["plonk_zeta"]),
+        "fri_alpha": _ext_s(ch["fri_alpha"]),
+        "fri_betas": [_ext_s(b) for b in ch["fri_betas"]],
+        "fri_pow_response": str(ch["fri_pow_response"]),
+        "fri_query_indices_first8": [
+            str(q) for q in ch["fri_query_indices"][:8]],
+    }
+
+
+def recursion_anchor():
+    """The recursive-verifier circuit's digest + outer-proof zeta: pins the
+    in-circuit verifier's construction (any change to the circuit layout,
+    gate order, or copy-constraint structure changes the digest)."""
+    from halo2_plonky2_verifier_tpu.refimpl.fixtures import (
+        get_recursive_proof_batch)
+    from halo2_plonky2_verifier_tpu.refimpl.plonk.verifier import (
+        get_plonk_challenges)
+    from halo2_plonky2_verifier_tpu.refimpl.poseidon import hash_no_pad
+
+    common, vd, outers, inners = get_recursive_proof_batch(count=2)
+    pwp = outers[0]
+    pi_hash = hash_no_pad(list(pwp.public_inputs))
+    ch = get_plonk_challenges(pwp.proof, pi_hash, common, vd)
+    return {
+        "circuit": "recursive_fib_n8",
+        "degree_bits": common.degree_bits,
+        "circuit_digest": [str(x) for x in vd.circuit_digest],
+        "public_inputs": [str(x) for x in pwp.public_inputs],
+        "plonk_zeta": _ext_s(ch["plonk_zeta"]),
+        "fri_pow_response": str(ch["fri_pow_response"]),
+    }
+
+
 def main():
     data = {
         "_derivation_audit": __doc__.strip().splitlines(),
@@ -69,6 +134,10 @@ def main():
             anchors_for(32, "poseidon_goldilocks"),
             anchors_for(2048, "poseidon_goldilocks"),
             anchors_for(8, "poseidon_bn254"),
+        ],
+        "plonk_anchors": [
+            plonk_anchors(),
+            recursion_anchor(),
         ],
     }
     with open(OUT, "w") as f:

@@ -60,12 +60,33 @@ _TILE = int(os.environ.get("POSEIDON_BN254_TILE", "2048"))
 # the VPU school_const ripple (POSEIDON_BN254_REDC=vpu fallback).
 _REDC_MXU = os.environ.get("POSEIDON_BN254_REDC", "mxu") != "vpu"
 
-# Unroll the 64-round loop inside the kernels (static round-constant
-# indices, full Mosaic cross-round scheduling freedom) instead of the
-# 3-segment fori_loop.  Probe-chain microbenchmarks run a partial round at
+# Unroll the 64-round loop inside the kernels instead of the 3-segment
+# fori_loop.  Probe-chain microbenchmarks run a partial round at
 # ~13.6us/tile while the fori_loop kernel spends ~50us/round — the dynamic
 # rc_ref[r] index plus per-iteration loop state are the suspected gap.
-_UNROLL = os.environ.get("POSEIDON_BN254_UNROLL", "0") == "1"
+#   "1":    python-level unroll with STATIC rc_ref[r] slices — +18% on the
+#           standalone permute but crashes Mosaic's ApplyVectorLayoutPass
+#           inside the path kernel's level loop ("limits[i] <= dim(i)
+#           (2 vs. 1)": the static (64, 1) rc loads get a lane layout the
+#           level-loop body can't consume);
+#   "fori": jax.lax.fori_loop(..., unroll=True) — the same fully unrolled
+#           schedule, but the rc loads stay dynamic-slice ops (the layout
+#           Mosaic already handles in the rolled loop).
+# Round-5 workaround hunt (all reproduce the same "(2 vs. 1)" abort inside
+# the path kernel's level loop; the standalone permute kernel is fine):
+# "fori" mode, 8-lane-replicated rc operands (POSEIDON_BN254_RC_LANES=8),
+# and u32-concat select masks (the GL 7a443d5 fix) were each tried on the
+# real chip and none unblocks it — the trigger is the unrolled 64-round
+# body inside the level fori itself, not the rc slicing or the i1
+# broadcasts.  Both unroll modes stay opt-in experiments; the op-count
+# roofline (tools/op_roofline.py) instead bounds the headroom: the rolled
+# kernel already runs at ~71% of the static VPU ceiling (BENCH r5).
+_UNROLL = os.environ.get("POSEIDON_BN254_UNROLL", "0")
+
+# Lane width of the round-constant operand (see the workaround-hunt note;
+# kept as an experiment knob, default 1 = the shipped layout).
+_RC_LANES = int(os.environ.get("POSEIDON_BN254_RC_LANES",
+                               "8" if _UNROLL != "0" else "1"))
 
 _M_NP = None   # (4, 4, 16) u32 host Montgomery-form MDS limb tables
 _RC_NP = None  # (rounds, 64, 1) u32 Montgomery-form round-constant planes
@@ -169,6 +190,19 @@ def _lane_tile(n):
     """Grid lane tile: the full _TILE for real workloads, one small tile for
     tiny inputs (unit tests, small batches) so padding stays bounded."""
     return _TILE if n >= _TILE else 256
+
+
+def _rc_operand(rc_np):
+    """Round-constant operand at _RC_LANES lane replication (see the
+    _RC_LANES note)."""
+    if _RC_LANES == 1:
+        return jnp.asarray(rc_np)
+    return jnp.asarray(np.repeat(rc_np, _RC_LANES, axis=2))
+
+
+def _rc_spec():
+    return pl.BlockSpec((_ROUNDS, WIDTH * fr.N_LIMBS, _RC_LANES),
+                        lambda *i: (0,) * 3, memory_space=pltpu.VMEM)
 
 
 def _to_bf16(x):
@@ -337,7 +371,7 @@ def _run_rounds(st, rc_ref, a_mat, a_redc=None, a_redc1=None):
     unimplemented for the loop-carried round counter."""
 
     def round_body(r, st, full):
-        rc = rc_ref[r]                                # (64, 1)
+        rc = rc_ref[r][:, :1]                         # (64, 1)
         st = tuple(frp.add_lazy(st[i], rc[16 * i:16 * (i + 1)])
                    for i in range(WIDTH))
         if a_redc is not None:
@@ -359,15 +393,19 @@ def _run_rounds(st, rc_ref, a_mat, a_redc=None, a_redc1=None):
             st = (_sbox5(st[0]),) + st[1:]
         return _mix_mxu(st, a_mat, a_redc)
 
-    if _UNROLL:
+    if _UNROLL == "1":
         for r in range(_ROUNDS):
             st = round_body(r, st, r < _HALF or r >= _ROUNDS - _HALF)
         return st
-    st = jax.lax.fori_loop(0, _HALF, lambda r, s: round_body(r, s, True), st)
+    unroll = True if _UNROLL == "fori" else 1
+    st = jax.lax.fori_loop(0, _HALF, lambda r, s: round_body(r, s, True), st,
+                           unroll=unroll)
     st = jax.lax.fori_loop(_HALF, _ROUNDS - _HALF,
-                           lambda r, s: round_body(r, s, False), st)
+                           lambda r, s: round_body(r, s, False), st,
+                           unroll=unroll)
     st = jax.lax.fori_loop(_ROUNDS - _HALF, _ROUNDS,
-                           lambda r, s: round_body(r, s, True), st)
+                           lambda r, s: round_body(r, s, True), st,
+                           unroll=unroll)
     return st
 
 
@@ -454,8 +492,7 @@ def hash_or_noop_mont_planes(gl_planes, interpret=None):
                            memory_space=pltpu.VMEM)
     h_spec = pl.BlockSpec((fr.N_LIMBS, tile), lambda i: (0, i),
                           memory_space=pltpu.VMEM)
-    rc_spec = pl.BlockSpec((_ROUNDS, WIDTH * fr.N_LIMBS, 1),
-                           lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    rc_spec = _rc_spec()
     mds_spec = pl.BlockSpec((4 * 64, 4 * 32), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     redc_spec = pl.BlockSpec((384, 256), lambda i: (0, 0),
@@ -470,7 +507,7 @@ def hash_or_noop_mont_planes(gl_planes, interpret=None):
         out_specs=h_spec,
         out_shape=jax.ShapeDtypeStruct((fr.N_LIMBS, total), jnp.uint32),
         interpret=interpret,
-    )(jnp.asarray(rc_np), jnp.asarray(_get_mds_a(), dtype=jnp.bfloat16),
+    )(_rc_operand(rc_np), jnp.asarray(_get_mds_a(), dtype=jnp.bfloat16),
       jnp.asarray(_get_redc_a(), dtype=jnp.bfloat16),
       jnp.asarray(_get_redc_a(1), dtype=jnp.bfloat16), hi, lo)
     if n_pad:
@@ -556,8 +593,7 @@ def verify_paths_mont_planes(node, siblings, idx, active, interpret=None,
                             memory_space=pltpu.VMEM)
     act_spec = pl.BlockSpec((d_max, tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
-    rc_spec = pl.BlockSpec((_ROUNDS, WIDTH * fr.N_LIMBS, 1),
-                           lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    rc_spec = _rc_spec()
     mds_spec = pl.BlockSpec((4 * 64, 4 * 32), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     redc_spec = pl.BlockSpec((384, 256), lambda i: (0, 0),
@@ -572,7 +608,7 @@ def verify_paths_mont_planes(node, siblings, idx, active, interpret=None,
         out_specs=h_spec,
         out_shape=jax.ShapeDtypeStruct((fr.N_LIMBS, total), jnp.uint32),
         interpret=interpret,
-    )(jnp.asarray(rc_np), jnp.asarray(_get_mds_a(), dtype=jnp.bfloat16),
+    )(_rc_operand(rc_np), jnp.asarray(_get_mds_a(), dtype=jnp.bfloat16),
       jnp.asarray(_get_redc_a(), dtype=jnp.bfloat16),
       jnp.asarray(_get_redc_a(1), dtype=jnp.bfloat16),
       node, siblings, idx2, active)
@@ -593,8 +629,7 @@ def permute_mont_planes(state, interpret=False):
     grid = (total // tile,)
     spec = pl.BlockSpec((WIDTH * fr.N_LIMBS, tile), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
-    rc_spec = pl.BlockSpec((_ROUNDS, WIDTH * fr.N_LIMBS, 1),
-                           lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    rc_spec = _rc_spec()
     mds_spec = pl.BlockSpec((4 * 64, 4 * 32), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     redc_spec = pl.BlockSpec((384, 256), lambda i: (0, 0),
@@ -608,7 +643,7 @@ def permute_mont_planes(state, interpret=False):
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((WIDTH * fr.N_LIMBS, total), jnp.uint32),
         interpret=interpret,
-    )(jnp.asarray(rc_np), jnp.asarray(_get_mds_a(), dtype=jnp.bfloat16),
+    )(_rc_operand(rc_np), jnp.asarray(_get_mds_a(), dtype=jnp.bfloat16),
       jnp.asarray(_get_redc_a(), dtype=jnp.bfloat16),
       jnp.asarray(_get_redc_a(1), dtype=jnp.bfloat16), state)
     if n_pad:

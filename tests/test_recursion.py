@@ -16,6 +16,7 @@ equalities are copy constraints, so a malicious prover is caught by the
 outer verifier instead."""
 
 import copy
+import os
 
 import numpy as np
 import pytest
@@ -110,6 +111,12 @@ def test_tampered_inner_proof_unprovable(surface, mutate):
         plonk_prove(common, pd, builder, recursive_witness(proof_t, bad))
 
 
+@pytest.mark.skipif(
+    os.environ.get("RUN_RECURSION_TPU", "0") != "1",
+    reason="XLA compiles the recursion-circuit batched verifier for ~26 min "
+           "(TPU) / ~50 min (CPU); opt in with RUN_RECURSION_TPU=1.  "
+           "Validated on real TPU v5e in round 5: verdict "
+           "[True, True, False] (tools: /tmp analog in STATUS.md r5 notes).")
 def test_recursive_tpu_batch(rec):
     """Outer proofs verify on the batched TPU-lane PLONK verifier; a
     tampered outer statement (claiming a different inner PI) is rejected."""

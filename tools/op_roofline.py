@@ -73,7 +73,7 @@ def _count_jaxpr(jaxpr, mult=1, acc=None):
                 k *= lhs.shape[d]
             out = _nelems(eqn.outvars[0].aval)
             acc["mxu_flops"] += 2 * out * k * mult
-        elif name in ("pjit", "closed_call", "custom_jvp_call",
+        elif name in ("pjit", "jit", "closed_call", "custom_jvp_call",
                       "custom_vjp_call", "remat"):
             inner = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
             if inner is not None:
@@ -191,56 +191,84 @@ def count_bn254_perm_ops(T=256):
 # Measured unit rates
 # ----------------------------------------------------------------------------
 
-def measure_vpu_u32_rate(rows=256, cols=16384, chain=256, epochs=3):
-    """Achievable raw u32 elementwise rate: a fused multiply-add chain on a
-    vreg-aligned array (2 VPU ops per element per step, no memory traffic
-    after the first load).  ops/sec."""
+def _timed_best(run, epochs):
+    best = float("inf")
+    for _ in range(epochs):
+        t0 = time.time()
+        run()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def measure_vpu_u32_rate(rows=256, cols=16384, chain=1024, epochs=3):
+    """Achievable raw u32 elementwise rate: a dependent square-add chain on
+    a vreg-aligned array (2 VPU ops per element per step, no memory traffic
+    after the first load).  Squaring makes every step non-affine, so XLA
+    cannot algebraically collapse the chain (an x*a+b chain composes into
+    one affine map and measured 14e12 'ops'/s — a folding artifact).
+
+    Measurement protocol for the tunneled axon backend: np.asarray of a
+    scalar reduction is the only true barrier (block_until_ready returns
+    early), and the rate is taken as the DIFFERENCE between a chain and a
+    2x chain so constant dispatch/tunnel latency cancels.  ops/sec."""
     import jax
     import jax.numpy as jnp
+    from functools import partial
 
-    a = np.uint32(2654435761)
     b = np.uint32(0x9E3779B9)
 
-    @jax.jit
-    def f(x):
-        for _ in range(chain):
-            x = x * a + b
-        return x
+    # op mix matched to the GL kernel's static census (~5% of VPU ops are
+    # u32 multiplies; the rest are adds/shifts/masks/compares): one mul per
+    # 19 cheap ops, all dependent so nothing collapses.
+    def step(i, v):
+        v = v * v + b                       # mul, add
+        for _ in range(6):
+            v = (v + b) ^ (v >> np.uint32(7))   # add, xor, shift  x6
+        return v
+    _OPS_PER_STEP = 20
+
+    @partial(jax.jit, static_argnums=1)
+    def f(x, n):
+        x = jax.lax.fori_loop(0, n, step, x)
+        return jnp.sum(x)    # scalar fetch; depends on every element
 
     x = jnp.arange(rows * cols, dtype=jnp.uint32).reshape(rows, cols)
-    f(x).block_until_ready()
-    best = float("inf")
-    for _ in range(epochs):
-        t0 = time.time()
-        f(x).block_until_ready()
-        best = min(best, time.time() - t0)
-    return rows * cols * chain * 2 / best
+    np.asarray(f(x, chain)), np.asarray(f(x, 2 * chain))   # compile both
+    t1 = _timed_best(lambda: np.asarray(f(x, chain)), epochs)
+    t2 = _timed_best(lambda: np.asarray(f(x, 2 * chain)), epochs)
+    assert t2 > t1, "probe not compute-bound; raise chain"
+    return rows * cols * chain * _OPS_PER_STEP / (t2 - t1)
 
 
-def measure_mxu_bf16_rate(n=1024, chain=16, epochs=3):
+def measure_mxu_bf16_rate(n=1024, chain=512, epochs=3):
     """Achievable bf16 matmul rate (flops/sec) with f32 accumulation — the
-    MDS/REDC conv-matmuls' regime."""
+    MDS/REDC conv-matmuls' regime.  Same chain-difference protocol as
+    measure_vpu_u32_rate (cancels tunnel latency)."""
     import jax
     import jax.numpy as jnp
+    from functools import partial
 
-    @jax.jit
-    def f(x, y):
-        for _ in range(chain):
-            x = jax.lax.dot(x, y,
-                            precision=None,
-                            preferred_element_type=jnp.float32
-                            ).astype(jnp.bfloat16)
-        return x
+    @partial(jax.jit, static_argnums=2)
+    def f(x, y, m):
+        def body(i, v):
+            return jax.lax.dot(v, y,
+                               precision=None,
+                               preferred_element_type=jnp.float32
+                               ).astype(jnp.bfloat16)
+        x = jax.lax.fori_loop(0, m, body, x)
+        return jnp.sum(x.astype(jnp.float32))   # scalar fetch barrier
 
-    x = jnp.ones((n, n), jnp.bfloat16)
-    y = jnp.ones((n, n), jnp.bfloat16) * jnp.bfloat16(1e-3)
-    f(x, y).block_until_ready()
-    best = float("inf")
-    for _ in range(epochs):
-        t0 = time.time()
-        f(x, y).block_until_ready()
-        best = min(best, time.time() - t0)
-    return 2.0 * n * n * n * chain / best
+    key = jax.random.PRNGKey(0)
+    # zero-mean random operands: nothing is compile-time constant or
+    # algebraically collapsible
+    x = (jax.random.normal(key, (n, n)) * 0.03).astype(jnp.bfloat16)
+    y = (jax.random.normal(jax.random.PRNGKey(1), (n, n)) * 0.03
+         ).astype(jnp.bfloat16)
+    np.asarray(f(x, y, chain)), np.asarray(f(x, y, 2 * chain))
+    t1 = _timed_best(lambda: np.asarray(f(x, y, chain)), epochs)
+    t2 = _timed_best(lambda: np.asarray(f(x, y, 2 * chain)), epochs)
+    assert t2 > t1, "probe not compute-bound; raise chain"
+    return 2.0 * n * n * n * chain / (t2 - t1)
 
 
 # ----------------------------------------------------------------------------

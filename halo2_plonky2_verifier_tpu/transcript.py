@@ -102,8 +102,18 @@ def run_schedule(schedule, elements):
 
     from .utils import profiling
 
-    if (poseidon._impl() == "pallas" and elements[0].ndim == 2
-            and not profiling.active()):
+    use_pallas = (poseidon._impl() == "pallas" and elements[0].ndim == 2
+                  and not profiling.active())
+    if use_pallas:
+        # VMEM guard: XLA places the kernel's (n_steps*8, B) squeeze
+        # outputs in scoped VMEM; a wide schedule x a wide batch overflows
+        # the 16MB budget (the plonk recursion-mix schedule, 103 steps, at
+        # B=4096 allocates 27MB and fails to compile).  Route those through
+        # the jnp scan below — the transcript is ~9% of device time, the
+        # merged Merkle kernels dominate either way.
+        out_bytes = n_steps * 8 * elements[0].shape[0] * 4 * 2
+        use_pallas = out_bytes <= 8 * 1024 * 1024
+    if use_pallas:
         from .ops import transcript_pallas
 
         # plane-form chunk gather: (B, n_el)[:, src] -> (B, ns, 8) -> (ns, 8, B)

@@ -143,7 +143,7 @@ _PREFLIGHT_FLOORS = {
     "gl": 25000.0,
     "gl-n2048": 2500.0,
     "bn254": 1500.0,
-    "plonk": 3000.0,
+    "plonk": 1000.0,
 }
 
 

@@ -245,6 +245,24 @@ def main():
         except Exception as e:  # pragma: no cover - probe must never kill bench
             print(f"# op_roofline failed: {e}", file=sys.stderr)
 
+    if os.environ.get("BENCH_ROOFLINE", "1") == "1" and bench_config == "bn254":
+        # BN254 kernel MFU: static op count vs measured in-verifier perm rate
+        from halo2_plonky2_verifier_tpu.utils import profiling
+
+        tree = profiling.profile_verifier(verify_one, batch_small)
+        perms_per_proof = tree.root.total("poseidon_bn254_permute") / small_size
+        perm_rate = perms_per_proof * proofs_per_sec
+        result["poseidon_bn254_perm_per_proof"] = int(perms_per_proof)
+        result["poseidon_bn254_perm_per_sec"] = round(perm_rate, 0)
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        try:
+            from op_roofline import bn254_kernel_mfu
+
+            result.update(bn254_kernel_mfu(perm_rate))
+        except Exception as e:  # pragma: no cover
+            print(f"# op_roofline failed: {e}", file=sys.stderr)
+
     print(json.dumps(result))
     print(f"# n=2^{degree_bits} rows, batch={batch_size} ({distinct} distinct), "
           f"{dt*1e3:.1f} ms/batch, load {load_s:.1f}s, compile {compile_s:.0f}s, "

@@ -154,8 +154,16 @@ def recursive_fib_setup(num_rows=8, count=2):
 
     Returns (stark, inner_config, inners, builder, proof_targets).
     Inner proving is milliseconds (n=8); the circuit build is deterministic
-    so the outer common data / digest are stable across runs."""
+    so the outer common data / digest are stable across runs.
+
+    The outer config keeps the standard_recursion geometry (135/80 wires,
+    rate 1/8, cap 2^4, arity-16 folds) but 8 FRI query rounds instead of
+    28 — purely a CI wall-clock choice (XLA:CPU compiles the 28-query
+    batched verifier for >45 min; gate mix and compositions are
+    unaffected by the outer query count)."""
+    from ..utils.config import FriConfig
     from . import prover as sprover
+    from .plonk import CircuitConfig
     from .plonk.recursion import build_recursive_stark_verifier
 
     cfg = recursion_inner_stark_config()
@@ -166,7 +174,12 @@ def recursive_fib_setup(num_rows=8, count=2):
         pis = [x0, x1, fibonacci(num_rows - 1, x0, x1, gl.P)]
         trace = stark.generate_trace(x0, x1, gl.P)
         inners.append(sprover.prove(stark, cfg, trace, pis))
-    b, proof_t = build_recursive_stark_verifier(stark, cfg, inners[0])
+    outer = CircuitConfig(
+        num_wires=135, num_routed_wires=80,
+        fri_config=FriConfig(rate_bits=3, cap_height=4,
+                             proof_of_work_bits=16,
+                             reduction_strategy=(4, 5), num_query_rounds=8))
+    b, proof_t = build_recursive_stark_verifier(stark, cfg, inners[0], outer)
     return stark, cfg, inners, b, proof_t
 
 
